@@ -1,0 +1,238 @@
+"""Golden tests ported from the reference unit suite
+(reference tests/buddy_check_test.py, tests/range_check_test.py,
+tests/isolation_test.py, tests/files/*.yml semantics).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from titanlib_spark.operators import (
+    buddy_check,
+    buddy_event_check,
+    duplicate_check_exact,
+    isolation_check,
+    metadata_check,
+    range_check,
+)
+
+NAN = float("nan")
+
+
+def flags_of(df, id_col="id"):
+    rows = df.select(id_col, "flags").orderBy(id_col).collect()
+    return [r["flags"] for r in rows]
+
+
+def line_points(spark, values, elevs=None):
+    """The reference's 10-station Cartesian line (tests/buddy_check_test.py:13-20):
+    y=0, x=linspace(0,100,N) — Cartesian mode means x/y are euclidean meters."""
+    n = len(values)
+    elevs = elevs or [0.0] * n
+    xs = [100.0 * i / (n - 1) for i in range(n)]
+    rows = [(i, 0.0, xs[i], float(elevs[i]), float(values[i])) for i in range(n)]
+    return spark.createDataFrame(
+        rows, "id long, lat double, lon double, elev double, value double"
+    )
+
+
+BUDDY_VALUES = [0, 0, 0, 0, 0, 0, 0, 0, 0.1, 1]
+
+
+class TestBuddyCheck:
+    # reference tests/buddy_check_test.py:29-40
+    def test_bad_data_iterative_effect(self, spark):
+        df = line_points(spark, BUDDY_VALUES)
+        kw = dict(
+            radius=10000.0,
+            num_min=1,
+            threshold=1.0,
+            max_elev_diff=200.0,
+            elev_gradient=-0.0065,
+            min_std=0.01,
+            coord_type="cartesian",
+        )
+        out1 = buddy_check(df, num_iterations=1, **kw)
+        assert flags_of(out1) == [0] * 9 + [1]
+        out2 = buddy_check(df, num_iterations=2, **kw)
+        assert flags_of(out2) == [0] * 8 + [1, 1]
+
+    # reference tests/buddy_check_test.py:82-89
+    def test_min_std(self, spark):
+        df = line_points(spark, BUDDY_VALUES)
+        kw = dict(
+            radius=10000.0,
+            num_min=1,
+            threshold=1.0,
+            max_elev_diff=200.0,
+            elev_gradient=-0.0065,
+            num_iterations=2,
+            coord_type="cartesian",
+        )
+        assert flags_of(buddy_check(df, min_std=0.3, **kw)) == [0] * 9 + [1]
+        assert flags_of(buddy_check(df, min_std=1.0, **kw)) == [0] * 10
+
+    # reference tests/buddy_check_test.py:91-96
+    def test_min_num(self, spark):
+        df = line_points(spark, BUDDY_VALUES)
+        out = buddy_check(
+            df,
+            radius=10000.0,
+            num_min=20,
+            threshold=1.0,
+            max_elev_diff=200.0,
+            elev_gradient=-0.0065,
+            min_std=0.01,
+            num_iterations=2,
+            coord_type="cartesian",
+        )
+        assert flags_of(out) == [0] * 10
+
+    # reference tests/buddy_check_test.py:103-113
+    def test_elev_gradient(self, spark):
+        elevs = [0.0] * 9 + [-153.8]
+        df = line_points(spark, BUDDY_VALUES, elevs)
+        kw = dict(
+            radius=10000.0,
+            num_min=1,
+            threshold=1.0,
+            max_elev_diff=200.0,
+            min_std=0.01,
+            num_iterations=2,
+            coord_type="cartesian",
+        )
+        assert flags_of(buddy_check(df, elev_gradient=0.0, **kw)) == [0] * 8 + [1, 1]
+        assert flags_of(buddy_check(df, elev_gradient=-0.0065, **kw)) == [0] * 8 + [1, 0]
+
+    # reference tests/buddy_check_test.py:115-123
+    def test_max_elev_diff(self, spark):
+        elevs = [0.0] * 9 + [100.0]
+        df = line_points(spark, BUDDY_VALUES, elevs)
+        out = buddy_check(
+            df,
+            radius=10000.0,
+            num_min=1,
+            threshold=1.0,
+            max_elev_diff=1.0,
+            elev_gradient=-0.0065,
+            min_std=0.01,
+            num_iterations=2,
+            coord_type="cartesian",
+        )
+        assert flags_of(out) == [0] * 8 + [1, 0]
+
+    # reference tests/buddy_check_test.py:125-131
+    def test_missing(self, spark):
+        values = [NAN] + BUDDY_VALUES[1:]
+        df = line_points(spark, values)
+        out = buddy_check(
+            df,
+            radius=10000.0,
+            num_min=1,
+            threshold=0.0001,
+            max_elev_diff=1.0,
+            elev_gradient=-0.0065,
+            min_std=0.01,
+            num_iterations=2,
+            coord_type="cartesian",
+        )
+        assert flags_of(out) == [1] * 10
+
+
+class TestBuddyEventCheck:
+    def test_fraction_mode(self, spark):
+        # 9 stations with value 0 (event under thr 0.5), one with 1 (non-event):
+        # with threshold 0.1 the lone non-event disagrees with its buddies.
+        df = line_points(spark, [0, 0, 0, 0, 0, 0, 0, 0, 0, 1])
+        out = buddy_event_check(
+            df,
+            radius=10000.0,
+            num_min=1,
+            event_threshold=0.5,
+            threshold=0.1,
+            num_iterations=1,
+            coord_type="cartesian",
+        )
+        assert flags_of(out) == [0] * 9 + [1]
+
+
+class TestRangeCheck:
+    # reference tests/range_check_test.py:28-36
+    def test_per_row_bounds(self, spark):
+        df = spark.createDataFrame(
+            [(0, 4.0, 5.0, 6.0), (1, 2.0, 1.0, 3.0), (2, 2.0, 0.0, 1.0)],
+            "id long, value double, mn double, mx double",
+        )
+        out = range_check(df, "mn", "mx")
+        assert flags_of(out) == [1, 0, 1]
+
+    def test_scalar_bounds_and_nan(self, spark):
+        df = spark.createDataFrame(
+            [(0, 1.0), (1, NAN), (2, 100.0), (3, None)],
+            "id long, value double",
+        )
+        out = range_check(df, 0.0, 10.0)
+        assert flags_of(out) == [0, 1, 1, 1]
+
+
+class TestMetadataCheck:
+    def test_toggleable(self, spark):
+        df = spark.createDataFrame(
+            [(0, 1.0, 2.0), (1, NAN, 2.0), (2, 1.0, None)],
+            "id long, lat double, lon double",
+        )
+        assert flags_of(metadata_check(df, ["lat", "lon"])) == [0, 1, 1]
+        assert flags_of(metadata_check(df, {"lat": True, "lon": False})) == [0, 1, 0]
+
+
+class TestIsolationCheck:
+    # reference tests/isolation_test.py: points with < num_min neighbors in radius
+    def test_counts(self, spark):
+        # cluster of 3 within 1km at origin-ish, 1 isolated far away
+        rows = [
+            (0, 60.0, 10.0),
+            (1, 60.001, 10.0),
+            (2, 60.0, 10.002),
+            (3, 65.0, 20.0),
+        ]
+        df = spark.createDataFrame(rows, "id long, lat double, lon double")
+        out = isolation_check(df, num_min=2, radius=2000.0)
+        assert flags_of(out) == [0, 0, 0, 1]
+
+    def test_invalid_coords_flagged(self, spark):
+        rows = [(0, 60.0, 10.0), (1, NAN, 10.0)]
+        df = spark.createDataFrame(rows, "id long, lat double, lon double")
+        out = isolation_check(df, num_min=0, radius=2000.0)
+        assert flags_of(out) == [0, 1]
+
+    def test_vertical_radius(self, spark):
+        rows = [
+            (0, 60.0, 10.0, 100.0),
+            (1, 60.001, 10.0, 150.0),
+            (2, 60.002, 10.0, 900.0),
+        ]
+        df = spark.createDataFrame(rows, "id long, lat double, lon double, elev double")
+        # num_min=1 within 2km and 100m elevation band: 0 and 1 buddy up; 2 isolated
+        out = isolation_check(df, num_min=1, radius=2000.0, vertical_radius=100.0)
+        assert flags_of(out) == [0, 0, 1]
+
+
+class TestDuplicateExact:
+    def test_first_wins(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a", 10), (1, "a", 5), (2, "b", 1)],
+            "id long, key string, ts long",
+        )
+        out = duplicate_check_exact(df, ["key"], ["ts", "id"])
+        assert flags_of(out) == [1, 0, 0]
+
+
+class TestFlagMonotonicity:
+    def test_never_unflag(self, spark):
+        df = spark.createDataFrame(
+            [(0, 5.0), (1, 50.0)], "id long, value double"
+        )
+        out = range_check(df, 0.0, 10.0)  # flags row 1
+        out = range_check(out, 0.0, 100.0)  # would pass row 1 — must stay flagged
+        assert flags_of(out) == [0, 1]

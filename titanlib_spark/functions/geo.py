@@ -1,0 +1,230 @@
+"""Geospatial column expressions + the grid-bucketed neighbor join.
+
+Semantics mirror the reference's KDTree (reference src/kdtree.cpp:142-157,
+src/util.cpp:65-87): lat/lon are converted to earth-centered (ECEF) x,y,z
+with spherical earth radius R=6.37e6 m, and a "radius query" means
+**euclidean chord distance in ECEF space <= radius** (reference
+src/kdtree.cpp:62-103 uses an R-tree `within_radius` predicate over ECEF
+points). We reproduce exactly that metric so neighbor sets match.
+
+The R-tree itself does not distribute; the Spark-native equivalent is:
+
+1. bucket every point into a cubic grid cell of side `cell_size >= radius`
+   (three int32 cell coordinates — kept separate to avoid any bigint
+   packing overflow at small cell sizes);
+2. equi-join query side x data side on cell id, with the query side
+   exploded to its 27 adjacent cells (any point within chord distance
+   `radius` is guaranteed to fall in one of them);
+3. post-filter on exact chord distance.
+
+At scale this is a single shuffle on the cell key; Catalyst/AQE handles
+skewed cells (dense clusters) via skew-join splitting, and callers bound
+per-neighborhood work with `num_max`-style top-k truncation (the
+reference's own skew control, src/sct.cpp:130-146).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EARTH_RADIUS = 6.37e6  # meters — reference src/util.cpp:79
+
+
+def ecef(lat: Column, lon: Column) -> tuple[Column, Column, Column]:
+    """lat/lon degrees -> ECEF x, y, z in meters (double)."""
+    latr = F.radians(lat.cast("double"))
+    lonr = F.radians(lon.cast("double"))
+    x = F.cos(latr) * F.cos(lonr) * F.lit(EARTH_RADIUS)
+    y = F.cos(latr) * F.sin(lonr) * F.lit(EARTH_RADIUS)
+    z = F.sin(latr) * F.lit(EARTH_RADIUS)
+    return x, y, z
+
+
+def with_ecef(
+    df: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    prefix: str = "",
+    coord_type: str = "geodetic",
+) -> DataFrame:
+    """Attach x/y/z columns. coord_type='cartesian' mirrors the reference's
+    titanlib.Cartesian mode (x=lon, y=lat, z=0, euclidean metric —
+    reference src/kdtree.cpp:144-148)."""
+    if coord_type == "cartesian":
+        x = F.col(lon_col).cast("double")
+        y = F.col(lat_col).cast("double")
+        z = F.lit(0.0)
+    else:
+        x, y, z = ecef(F.col(lat_col), F.col(lon_col))
+    return (
+        df.withColumn(f"{prefix}x", x)
+        .withColumn(f"{prefix}y", y)
+        .withColumn(f"{prefix}z", z)
+    )
+
+
+def chord_dist_sq(
+    x1: Column, y1: Column, z1: Column, x2: Column, y2: Column, z2: Column
+) -> Column:
+    """Squared euclidean (chord) distance — avoids sqrt in the hot filter."""
+    return (x1 - x2) ** 2 + (y1 - y2) ** 2 + (z1 - z2) ** 2
+
+
+def great_circle_dist(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle distance (reference src/util.cpp:89-112, R=6.378137e6)."""
+    lat1r, lon1r = F.radians(lat1), F.radians(lon1)
+    lat2r, lon2r = F.radians(lat2), F.radians(lon2)
+    ratio = (
+        F.cos(lat1r) * F.cos(lon1r) * F.cos(lat2r) * F.cos(lon2r)
+        + F.cos(lat1r) * F.sin(lon1r) * F.cos(lat2r) * F.sin(lon2r)
+        + F.sin(lat1r) * F.sin(lat2r)
+    )
+    # clamp for float noise at ratio ~ 1.0 (identical points)
+    ratio = F.least(F.greatest(ratio, F.lit(-1.0)), F.lit(1.0))
+    return F.acos(ratio) * F.lit(6.378137e6)
+
+
+def _cell_cols(x: Column, y: Column, z: Column, cell_size: float) -> list[Column]:
+    return [
+        F.floor(x / F.lit(float(cell_size))).cast("int").alias("_cx"),
+        F.floor(y / F.lit(float(cell_size))).cast("int").alias("_cy"),
+        F.floor(z / F.lit(float(cell_size))).cast("int").alias("_cz"),
+    ]
+
+
+def neighbor_pairs(
+    df: DataFrame,
+    radius,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    payload_cols: tuple[str, ...] = (),
+    include_self: bool = False,
+    cell_size: float | None = None,
+    coord_type: str = "geodetic",
+) -> DataFrame:
+    """All (i, j) pairs with chord_dist(i, j) <= radius.
+
+    `radius` may be a scalar (meters) or the name of a per-row column on
+    the *query* side (reference's length-N radius convention,
+    src/buddy_check.cpp:32-41); with a column radius, pass an explicit
+    `cell_size >= max(radius)`.
+
+    Returns one row per neighbor pair with columns:
+      `id_col` (query point), `n_<id_col>` (neighbor), `dist` (chord,
+      meters), plus `n_<c>` for each payload column of the neighbor.
+
+    include_self=False reproduces `get_neighbours(..., include_match=false)`
+    which drops neighbors at *exactly* the same ECEF location — not merely
+    the same row id (reference src/kdtree.cpp:62-75 `is_not_equal` is a
+    coordinate predicate). We therefore exclude pairs with dist == 0 and
+    same id; distinct rows at identical coordinates are also excluded by
+    the reference, which we mirror by excluding dist == 0 entirely.
+    """
+    per_row_radius = isinstance(radius, str)
+    if per_row_radius:
+        if cell_size is None:
+            raise ValueError("per-row radius requires explicit cell_size")
+        rcol = F.col(radius).cast("double")
+    else:
+        radius = float(radius)
+        cell_size = cell_size or radius
+        rcol = F.lit(radius)
+    if cell_size <= 0:
+        raise ValueError("cell_size must be positive")
+
+    pts = with_ecef(df, lat_col, lon_col, coord_type=coord_type)
+
+    data_side = pts.select(
+        F.col(id_col).alias("_nid"),
+        F.col("x").alias("_nx"),
+        F.col("y").alias("_ny"),
+        F.col("z").alias("_nz"),
+        *[F.col(c).alias(f"n_{c}") for c in payload_cols],
+        *_cell_cols(F.col("x"), F.col("y"), F.col("z"), cell_size),
+    )
+
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"), F.lit(dz).alias("dz"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            for dz in (-1, 0, 1)
+        ]
+    )
+    query_side = (
+        pts.select(
+            F.col(id_col),
+            F.col("x"),
+            F.col("y"),
+            F.col("z"),
+            rcol.alias("_r"),
+            *_cell_cols(F.col("x"), F.col("y"), F.col("z"), cell_size),
+        )
+        .withColumn("_o", F.explode(offsets))
+        .select(
+            id_col,
+            "x",
+            "y",
+            "z",
+            "_r",
+            (F.col("_cx") + F.col("_o.dx")).alias("_cx"),
+            (F.col("_cy") + F.col("_o.dy")).alias("_cy"),
+            (F.col("_cz") + F.col("_o.dz")).alias("_cz"),
+        )
+    )
+
+    joined = query_side.join(data_side, on=["_cx", "_cy", "_cz"])
+    dsq = chord_dist_sq(
+        F.col("x"), F.col("y"), F.col("z"), F.col("_nx"), F.col("_ny"), F.col("_nz")
+    )
+    cond = dsq <= F.col("_r") * F.col("_r")
+    if not include_self:
+        cond = cond & (dsq > 0)
+    out = (
+        joined.where(cond)
+        .select(
+            F.col(id_col),
+            F.col("_nid").alias(f"n_{id_col}"),
+            F.sqrt(dsq).alias("dist"),
+            *[F.col(f"n_{c}") for c in payload_cols],
+        )
+    )
+    return out
+
+
+def knn_pairs(
+    df: DataFrame,
+    k: int,
+    search_radius: float,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    payload_cols: tuple[str, ...] = (),
+    include_self: bool = False,
+    coord_type: str = "geodetic",
+) -> DataFrame:
+    """k nearest neighbors per point among those within `search_radius`.
+
+    The reference's R-tree kNN (src/kdtree.cpp:105-126) is unbounded; a
+    distributed engine needs a candidate radius to bound the join. Ties on
+    distance break deterministically by neighbor id. Returns pair rows with
+    `rank` 1..k.
+    """
+    from pyspark.sql import Window
+
+    pairs = neighbor_pairs(
+        df,
+        search_radius,
+        id_col=id_col,
+        lat_col=lat_col,
+        lon_col=lon_col,
+        payload_cols=payload_cols,
+        include_self=include_self,
+        coord_type=coord_type,
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("dist").asc(), F.col(f"n_{id_col}").asc())
+    return pairs.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

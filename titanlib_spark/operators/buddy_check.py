@@ -1,0 +1,146 @@
+"""Buddy check — iterative z-score against spatial-neighbor statistics.
+
+Reference src/buddy_check.cpp:13-180. Per iteration, for each unflagged
+row to check: gather unflagged neighbors within `radius` (chord metric,
+excluding self), optionally keep only |elev diff| <= max_elev_diff and
+lapse-adjust each neighbor value by (elev_i - elev_j) * elev_gradient;
+if at least `num_min` buddies remain, compute their mean and POPULATION
+variance (boost accumulators' variance is the biased /n estimator),
+std_adjusted = sqrt(var + var/n) clamped below by min_std, and flag when
+|value - mean| / std_adjusted > threshold. Rows with invalid values are
+flagged up-front (src/buddy_check.cpp:64-67). Iterate `num_iterations`
+times over the previous iteration's flags snapshot, stopping early when an
+iteration flags nothing new (src/buddy_check.cpp:161-176).
+
+Spark plan per iteration: one grid-join shuffle + one groupBy(id)
+aggregation (map-side partial agg), then a left join of the per-id stats
+back onto the frame — all JVM-side expressions, no Python. The fixpoint
+loop is driver-side control flow with localCheckpoint() per round to cut
+lineage (a handful of rounds in practice thanks to early stop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from titanlib_spark.flags import BAD, GOOD, apply_check_flags, ensure_flags
+from titanlib_spark.functions.geo import neighbor_pairs
+from titanlib_spark.operators.range_check import is_invalid_value
+
+
+def _buddy_stats(
+    unflagged: DataFrame,
+    radius,
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+    value_col: str,
+    elev_col: str | None,
+    max_elev_diff: float,
+    elev_gradient: float,
+    cell_size: float | None,
+    coord_type: str = "geodetic",
+) -> DataFrame:
+    """Per-id buddy count / mean / population variance (lapse-adjusted)."""
+    use_elev = elev_col is not None and max_elev_diff > 0
+    payload = (value_col, elev_col) if use_elev else (value_col,)
+    pairs = neighbor_pairs(
+        unflagged,
+        radius,
+        id_col=id_col,
+        lat_col=lat_col,
+        lon_col=lon_col,
+        payload_cols=payload,
+        include_self=False,
+        cell_size=cell_size,
+        coord_type=coord_type,
+    )
+    if use_elev:
+        own = unflagged.select(F.col(id_col), F.col(elev_col).alias("_own_elev"))
+        pairs = pairs.join(own, on=id_col)
+        pairs = pairs.where(
+            F.abs(F.col(f"n_{elev_col}") - F.col("_own_elev")) <= float(max_elev_diff)
+        ).withColumn(
+            "_adj_value",
+            F.col(f"n_{value_col}")
+            + (F.col("_own_elev") - F.col(f"n_{elev_col}")) * F.lit(float(elev_gradient)),
+        )
+    else:
+        pairs = pairs.withColumn("_adj_value", F.col(f"n_{value_col}"))
+    return pairs.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_buddies"),
+        F.avg("_adj_value").alias("_buddy_mean"),
+        F.var_pop("_adj_value").alias("_buddy_var"),
+    )
+
+
+def buddy_check(
+    df: DataFrame,
+    radius,
+    num_min: int,
+    threshold: float,
+    max_elev_diff: float = -1.0,
+    elev_gradient: float = -0.0065,
+    min_std: float = 1.0,
+    num_iterations: int = 1,
+    obs_to_check: str | None = None,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    value_col: str = "value",
+    elev_col: str | None = "elev",
+    flag_col: str = "flags",
+    cell_size: float | None = None,
+    coord_type: str = "geodetic",
+) -> DataFrame:
+    """`radius` is a scalar in meters or a per-row column name (then pass
+    cell_size >= max radius). `obs_to_check` optionally names a 0/1 column
+    restricting which rows may be flagged (neighbors still contribute)."""
+    df = ensure_flags(df, flag_col)
+    # up-front invalid-value flagging (src/buddy_check.cpp:64-67)
+    df = apply_check_flags(
+        df, F.when(is_invalid_value(F.col(value_col)), BAD).otherwise(GOOD), flag_col
+    )
+
+    for _ in range(int(num_iterations)):
+        unflagged = df.where(F.col(flag_col) == GOOD)
+        stats = _buddy_stats(
+            unflagged,
+            radius,
+            id_col,
+            lat_col,
+            lon_col,
+            value_col,
+            elev_col,
+            max_elev_diff,
+            elev_gradient,
+            cell_size,
+            coord_type,
+        )
+        joined = df.join(stats, on=id_col, how="left")
+        std_adj = F.greatest(
+            F.sqrt(F.col("_buddy_var") + F.col("_buddy_var") / F.col("_n_buddies")),
+            F.lit(float(min_std)),
+        )
+        z = F.abs(F.col(value_col) - F.col("_buddy_mean")) / std_adj
+        verdict = (
+            F.col("_n_buddies").isNotNull()
+            & (F.col("_n_buddies") >= int(num_min))
+            & (z > float(threshold))
+        )
+        if obs_to_check is not None:
+            verdict = verdict & (F.col(obs_to_check) == 1)
+        new_df = apply_check_flags(
+            joined, F.when(verdict, BAD).otherwise(GOOD), flag_col
+        ).drop("_n_buddies", "_buddy_mean", "_buddy_var")
+
+        new_df = new_df.localCheckpoint(eager=True)
+        newly_flagged = (
+            new_df.where(F.col(flag_col) != GOOD).count()
+            - df.where(F.col(flag_col) != GOOD).count()
+        )
+        df = new_df
+        if newly_flagged == 0:
+            break  # early stop (src/buddy_check.cpp:161-176)
+    return df

@@ -1,0 +1,115 @@
+"""Buddy event check — dichotomous agreement with spatial neighbors.
+
+Reference src/buddy_event_check.cpp:13-189. Each value is converted to an
+event `value < event_threshold` (lapse-adjusted for neighbors when
+max_elev_diff > 0, src/buddy_event_check.cpp:100-127). For each unflagged
+row with at least `num_min` unflagged buddies in `radius`:
+
+* threshold < 1 (fraction mode, :143-149): flag when the row is an event
+  but the buddy event fraction <= threshold, or the row is a non-event but
+  (1 - fraction) <= threshold;
+* threshold >= 1 (count mode, :150-155): same with absolute counts.
+
+Same iteration/early-stop machinery as buddy_check. Spark plan: identical
+grid-join + groupBy, aggregating sum(event) and count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from titanlib_spark.flags import BAD, GOOD, apply_check_flags, ensure_flags
+from titanlib_spark.functions.geo import neighbor_pairs
+from titanlib_spark.operators.range_check import is_invalid_value
+
+
+def buddy_event_check(
+    df: DataFrame,
+    radius,
+    num_min: int,
+    event_threshold: float,
+    threshold: float,
+    max_elev_diff: float = -1.0,
+    elev_gradient: float = -0.0065,
+    num_iterations: int = 1,
+    obs_to_check: str | None = None,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    value_col: str = "value",
+    elev_col: str | None = "elev",
+    flag_col: str = "flags",
+    cell_size: float | None = None,
+    coord_type: str = "geodetic",
+) -> DataFrame:
+    df = ensure_flags(df, flag_col)
+    df = apply_check_flags(
+        df, F.when(is_invalid_value(F.col(value_col)), BAD).otherwise(GOOD), flag_col
+    )
+    use_elev = elev_col is not None and max_elev_diff > 0
+
+    for _ in range(int(num_iterations)):
+        unflagged = df.where(F.col(flag_col) == GOOD)
+        payload = (value_col, elev_col) if use_elev else (value_col,)
+        pairs = neighbor_pairs(
+            unflagged,
+            radius,
+            id_col=id_col,
+            lat_col=lat_col,
+            lon_col=lon_col,
+            payload_cols=payload,
+            include_self=False,
+            cell_size=cell_size,
+            coord_type=coord_type,
+        )
+        if use_elev:
+            own = unflagged.select(F.col(id_col), F.col(elev_col).alias("_own_elev"))
+            pairs = pairs.join(own, on=id_col)
+            pairs = pairs.where(
+                F.abs(F.col(f"n_{elev_col}") - F.col("_own_elev")) <= float(max_elev_diff)
+            ).withColumn(
+                "_adj_value",
+                F.col(f"n_{value_col}")
+                + (F.col("_own_elev") - F.col(f"n_{elev_col}")) * F.lit(float(elev_gradient)),
+            )
+        else:
+            pairs = pairs.withColumn("_adj_value", F.col(f"n_{value_col}"))
+        stats = pairs.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("_n_buddies"),
+            F.sum(
+                (F.col("_adj_value") < float(event_threshold)).cast("int")
+            ).alias("_n_event"),
+        )
+        joined = df.join(stats, on=id_col, how="left")
+        is_event = F.col(value_col) < float(event_threshold)
+        frac = F.col("_n_event") / F.col("_n_buddies")
+        if threshold < 1:
+            disagree = (is_event & (frac <= float(threshold))) | (
+                (~is_event) & ((1 - frac) <= float(threshold))
+            )
+        else:
+            disagree = (is_event & (F.col("_n_event") <= float(threshold))) | (
+                (~is_event)
+                & ((F.col("_n_buddies") - F.col("_n_event")) <= float(threshold))
+            )
+        verdict = (
+            F.col("_n_buddies").isNotNull()
+            & (F.col("_n_buddies") >= int(num_min))
+            & disagree
+        )
+        if obs_to_check is not None:
+            verdict = verdict & (F.col(obs_to_check) == 1)
+        new_df = apply_check_flags(
+            joined, F.when(verdict, BAD).otherwise(GOOD), flag_col
+        ).drop("_n_buddies", "_n_event")
+
+        new_df = new_df.localCheckpoint(eager=True)
+        newly_flagged = (
+            new_df.where(F.col(flag_col) != GOOD).count()
+            - df.where(F.col(flag_col) != GOOD).count()
+        )
+        df = new_df
+        if newly_flagged == 0:
+            break
+    return df

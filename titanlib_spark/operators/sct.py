@@ -1,0 +1,279 @@
+"""SCT — Spatial Consistency Test (Lussana et al. 2010) on Spark.
+
+Statistical core from reference src/sct.cpp:120-306, re-expressed for a
+cluster: Spark owns data movement (grid partitioning with halo exchange),
+numpy owns the per-neighborhood optimal-interpolation (OI) algebra inside
+an Arrow-batched ``applyInPandas``.
+
+Plan per iteration (driver-side loop, early stop when nothing new is
+flagged — src/sct.cpp:294-299):
+
+1. keep unflagged points; bucket into ECEF grid cells of side
+   ``outer_radius``;
+2. replicate each point to the 27 adjacent cells as *halo* rows — every
+   point within ``outer_radius`` of any core point of a cell is then
+   present in that cell's group (chord distance <= arc distance);
+3. per cell (pandas UDF): run the reference's per-centroid loop over the
+   cell's core points with the ``checked`` memo (src/sct.cpp:108-123):
+   gather <= ``num_max`` nearest unflagged neighbors within
+   ``outer_radius`` (>= ``num_min`` or skip), vertical-profile background,
+   Gaussian covariance S = exp(-.5 (dh/Dh)^2 - .5 (dz/Dz)^2) + eps2*I
+   with Dh = mean per-row 10th-pct pairwise distance clamped to
+   ``min_horizontal_scale``, invert, compute analysis residuals ``ares``,
+   cross-validation residuals ``cvres = -(1/diag(Sinv)) * Sinv d``,
+   ``sig2o = max(mean(d * -ares), 0.01)``, ``pog = cvres*ares/sig2o``;
+   flag rows within ``inner_radius`` where pog exceeds pos (cvres<0) /
+   neg (cvres>=0) thresholds (src/sct.cpp:272-291).
+
+Deviation from the reference (documented): the sequential centroid sweep is
+per-cell instead of global, so the `checked` memo never spans cells.
+Verdicts for a given neighborhood are identical; which neighborhoods get
+evaluated can differ — the reference itself is order-tolerant here.
+
+Skew control: dense cells are bounded by ``num_max`` (O(num_max^3)
+inversion cap — the reference's own control, src/sct.cpp:130-146) plus an
+optional hard per-cell candidate cap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from titanlib_spark.flags import BAD, GOOD, apply_check_flags, ensure_flags
+from titanlib_spark.functions.geo import EARTH_RADIUS, with_ecef
+from titanlib_spark.operators.background import exact_quantile, vertical_profile_np
+from titanlib_spark.operators.range_check import is_invalid_value
+
+
+def _geodetic_dist_matrix(lats: np.ndarray, lons: np.ndarray) -> np.ndarray:
+    """Great-circle distance matrix (reference calc_distance,
+    src/util.cpp:89-112, R=6.378137e6)."""
+    latr = np.radians(lats)[:, None]
+    lonr = np.radians(lons)[:, None]
+    ratio = (
+        np.cos(latr) @ np.cos(latr).T * np.cos(lonr - lonr.T)
+        + np.sin(latr) @ np.sin(latr).T
+    )
+    np.clip(ratio, -1.0, 1.0, out=ratio)
+    return np.arccos(ratio) * 6.378137e6
+
+
+def _sct_kernel(
+    pdf: pd.DataFrame,
+    num_min: int,
+    num_max: int,
+    inner_radius: float,
+    outer_radius: float,
+    num_min_prof: int,
+    min_elev_diff: float,
+    min_horizontal_scale: float,
+    vertical_scale: float,
+    pos: float,
+    neg: float,
+    eps2: float,
+) -> pd.DataFrame:
+    ids = pdf["_sid"].to_numpy()
+    lats = pdf["_slat"].to_numpy(dtype=float)
+    lons = pdf["_slon"].to_numpy(dtype=float)
+    elevs = pdf["_selev"].to_numpy(dtype=float)
+    values = pdf["_svalue"].to_numpy(dtype=float)
+    core = pdf["_score"].to_numpy(dtype=bool)
+    x = pdf["_sx"].to_numpy(dtype=float)
+    y = pdf["_sy"].to_numpy(dtype=float)
+    z = pdf["_sz"].to_numpy(dtype=float)
+    n = len(ids)
+
+    flags = np.zeros(n, dtype=np.int32)
+    pog_out = np.full(n, np.nan)
+    checked = np.zeros(n, dtype=bool)
+
+    order = np.argsort(ids, kind="stable")  # deterministic sweep order
+    pts = np.stack([x, y, z], axis=1)
+
+    for curr in order:
+        if not core[curr] or checked[curr]:
+            continue
+        # chord-metric radius query (reference KDTree semantics)
+        d_chord = np.sqrt(((pts - pts[curr]) ** 2).sum(axis=1))
+        sel = np.where(d_chord <= outer_radius)[0]
+        if sel.size > num_max:
+            # nearest num_max, ties by id for determinism
+            k = np.lexsort((ids[sel], d_chord[sel]))[:num_max]
+            sel = sel[k]
+        if sel.size < num_min:
+            checked[curr] = True
+            continue
+
+        e_box = elevs[sel]
+        v_box = values[sel]
+        if num_min_prof >= 0:
+            vp = vertical_profile_np(e_box, v_box, num_min_prof, min_elev_diff)
+        else:
+            vp = np.full(sel.size, float(np.mean(v_box)))
+
+        disth = _geodetic_dist_matrix(lats[sel], lons[sel])
+        distz = np.abs(e_box[:, None] - e_box[None, :])
+        # per-row 10th percentile of off-diagonal distances
+        s_box = sel.size
+        dh_rows = np.empty(s_box)
+        for i in range(s_box):
+            row = np.delete(disth[i], i)
+            dh_rows[i] = exact_quantile(0.10, row)
+        dh_mean = max(float(np.mean(dh_rows)), float(min_horizontal_scale))
+
+        S = np.exp(
+            -0.5 * (disth / dh_mean) ** 2 - 0.5 * (distz / vertical_scale) ** 2
+        )
+        S[np.diag_indices(s_box)] += eps2
+        d = v_box - vp
+        try:
+            Sinv = np.linalg.inv(S)
+        except np.linalg.LinAlgError:
+            continue  # reference skips on inversion failure (src/sct.cpp:221-224)
+        S[np.diag_indices(s_box)] -= eps2  # unweight diagonal
+
+        Sinv_d = Sinv @ d
+        ares = S @ Sinv_d - d
+        zinv = 1.0 / np.diag(Sinv)
+        cvres = -zinv * Sinv_d
+        sig2o = max(float(np.mean(d * (-ares))), 0.01)
+        pog = cvres * ares / sig2o
+
+        dists = d_chord[sel]
+        for i in range(s_box):
+            idx = sel[i]
+            if dists[i] <= inner_radius:
+                if not core[idx]:
+                    continue
+                prev = pog_out[idx]
+                pog_out[idx] = pog[i] if np.isnan(prev) else max(prev, pog[i])
+                if (cvres[i] < 0 and pog[i] > pos) or (cvres[i] >= 0 and pog[i] > neg):
+                    flags[idx] = BAD
+                checked[idx] = True
+
+    keep = core
+    return pd.DataFrame(
+        {
+            "_sid": ids[keep],
+            "_sct_flag": flags[keep],
+            "prob_gross_error": pog_out[keep],
+        }
+    )
+
+
+def sct(
+    df: DataFrame,
+    num_min: int,
+    num_max: int,
+    inner_radius: float,
+    outer_radius: float,
+    num_iterations: int = 1,
+    num_min_prof: int = -1,
+    min_elev_diff: float = 200.0,
+    min_horizontal_scale: float = 10000.0,
+    vertical_scale: float = 200.0,
+    pos: float = 4.0,
+    neg: float = 4.0,
+    eps2: float = 0.5,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    elev_col: str = "elev",
+    value_col: str = "value",
+    flag_col: str = "flags",
+) -> DataFrame:
+    """Returns df with `flags` updated and a `prob_gross_error` column."""
+    df = ensure_flags(df, flag_col)
+    df = apply_check_flags(
+        df, F.when(is_invalid_value(F.col(value_col)), BAD).otherwise(GOOD), flag_col
+    )
+    result_pog = None
+
+    for _ in range(int(num_iterations)):
+        unflagged = df.where(F.col(flag_col) == GOOD)
+        pts = with_ecef(unflagged, lat_col, lon_col)
+        cs = float(outer_radius)
+        base = pts.select(
+            F.col(id_col).alias("_sid"),
+            F.col(lat_col).cast("double").alias("_slat"),
+            F.col(lon_col).cast("double").alias("_slon"),
+            F.col(elev_col).cast("double").alias("_selev"),
+            F.col(value_col).cast("double").alias("_svalue"),
+            F.col("x").alias("_sx"),
+            F.col("y").alias("_sy"),
+            F.col("z").alias("_sz"),
+            F.floor(F.col("x") / cs).cast("int").alias("_cx"),
+            F.floor(F.col("y") / cs).cast("int").alias("_cy"),
+            F.floor(F.col("z") / cs).cast("int").alias("_cz"),
+        )
+        offsets = F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"), F.lit(dz).alias("dz"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+                for dz in (-1, 0, 1)
+            ]
+        )
+        replicated = (
+            base.withColumn("_o", F.explode(offsets))
+            .withColumn("_score", (F.col("_o.dx") == 0) & (F.col("_o.dy") == 0) & (F.col("_o.dz") == 0))
+            .select(
+                "_sid",
+                "_slat",
+                "_slon",
+                "_selev",
+                "_svalue",
+                "_sx",
+                "_sy",
+                "_sz",
+                "_score",
+                (F.col("_cx") + F.col("_o.dx")).alias("_cx"),
+                (F.col("_cy") + F.col("_o.dy")).alias("_cy"),
+                (F.col("_cz") + F.col("_o.dz")).alias("_cz"),
+            )
+        )
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _sct_kernel(
+                pdf,
+                num_min,
+                num_max,
+                inner_radius,
+                outer_radius,
+                num_min_prof,
+                min_elev_diff,
+                min_horizontal_scale,
+                vertical_scale,
+                pos,
+                neg,
+                eps2,
+            )
+
+        verdicts = replicated.groupBy("_cx", "_cy", "_cz").applyInPandas(
+            kernel, schema="_sid long, _sct_flag int, prob_gross_error double"
+        )
+        verdicts = verdicts.select(
+            F.col("_sid").alias(id_col),
+            F.col("_sct_flag"),
+            F.col("prob_gross_error").alias("_pog_new"),
+        )
+
+        joined = df.drop("prob_gross_error").join(verdicts, on=id_col, how="left")
+        new_df = apply_check_flags(
+            joined,
+            F.when(F.col("_sct_flag") == BAD, BAD).otherwise(GOOD),
+            flag_col,
+        ).withColumnRenamed("_pog_new", "prob_gross_error").drop("_sct_flag")
+        new_df = new_df.localCheckpoint(eager=True)
+
+        thrown_out = (
+            new_df.where(F.col(flag_col) != GOOD).count()
+            - df.where(F.col(flag_col) != GOOD).count()
+        )
+        df = new_df
+        if thrown_out == 0:
+            break
+    return df
