@@ -1,0 +1,45 @@
+"""Large-scale training-data operations: dedup, similarity, text stats,
+multimodal plumbing.
+
+These extend the QC-check architecture (titanlib_spark.operators) with the
+operators a 100 TB training-data pipeline needs. All hot paths are JVM-side
+column expressions (higher-order array functions over hashes); Python
+appears only in Arrow-batched pandas UDFs where linear algebra is genuinely
+needed (embedding math, media decode).
+"""
+
+from titanlib_spark.textops.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    minhash_lsh_candidates,
+    minhash_lsh_dedup,
+    simhash,
+    ngram_jaccard_pairs,
+)
+from titanlib_spark.textops.similarity import (
+    with_normalized_embedding,
+    cosine_topk,
+    lsh_bucketed_topk,
+)
+from titanlib_spark.textops.stats import (
+    token_count,
+    bpe_ish_token_count,
+    fingerprint,
+    quality_score,
+)
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "minhash_lsh_dedup",
+    "simhash",
+    "ngram_jaccard_pairs",
+    "with_normalized_embedding",
+    "cosine_topk",
+    "lsh_bucketed_topk",
+    "token_count",
+    "bpe_ish_token_count",
+    "fingerprint",
+    "quality_score",
+]

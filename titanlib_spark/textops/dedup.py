@@ -1,0 +1,287 @@
+"""Deduplication family: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All signature computation is JVM-side (xxhash64 over exploded/ transformed
+arrays inside whole-stage codegen) — no Python in the hot path. The LSH
+band -> bucket -> join shape is the standard shuffle-once candidate
+generation: at 100 TB the only shuffles are (1) groupBy on band bucket,
+(2) the verification join, both on uniformly-hashed keys (no skew by
+construction; a pathological bucket is bounded with a per-bucket cap, the
+`num_max` neighborhood-truncation idea from the reference,
+reference src/sct.cpp:130-146).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --- exact -----------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    order_cols: tuple[str, ...] = ("doc_id",),
+    keep: str = "first",
+) -> DataFrame:
+    """Keep one representative per exact text; deterministic first-wins by
+    `order_cols` (the greedy scan of reference src/duplicate_check.cpp:24-49
+    collapsed to a window rank over an exact key)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(
+        *[F.col(c).asc() if keep == "first" else F.col(c).desc() for c in order_cols]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# --- shingles / minhash ------------------------------------------------------
+
+def char_shingles(text: str | Column, n: int = 5) -> Column:
+    """Distinct lowercase character n-grams, computed JVM-side:
+    sequence(1, len-n+1) -> substring — one codegen stage, no UDF."""
+    t = F.lower(F.col(text) if isinstance(text, str) else text)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(0)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, n)))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_size: int = 5,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """k-permutation MinHash over char shingles.
+
+    h_i(s) = xxhash64(i || s); signature[i] = min over shingles. Expressed
+    as nested higher-order functions; empty docs get a null signature."""
+    sh = char_shingles(text_col, shingle_size)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.xxhash64(i.cast("string"), s))
+        ),
+    )
+    return df.withColumn(
+        out_col, F.when(F.size(sh) > 0, sig)
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 16,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate pairs (a < b) sharing at least one LSH band bucket.
+
+    Signature of length k is cut into `bands` rows-per-band groups; a band's
+    bucket key is the hash of its slice. Pairs are generated inside buckets
+    with a self-join on the bucket key; buckets larger than `max_bucket`
+    are dropped (degenerate content, e.g. boilerplate — the reference's
+    num_max truncation applied to LSH)."""
+    rows_per_band = None  # derived from signature length at runtime
+    sig = F.col(sig_col)
+    k = F.size(sig)
+    r = (k / bands).cast("int")
+    banded = df.where(sig.isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.slice(sig, b * r + 1, r)), b.cast("string")
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    counts = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_c"))
+    banded = banded.join(
+        counts.where(F.col("_c") <= max_bucket), on=["band", "bucket"]
+    ).drop("_c")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.bucket") == F.col(f"b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def estimated_jaccard(sig_a: Column, sig_b: Column) -> Column:
+    """MinHash Jaccard estimate: fraction of agreeing signature slots."""
+    agree = F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda v: v)
+    )
+    return agree.cast("double") / F.size(sig_a)
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """Drop near-duplicates: candidates from LSH buckets, verified by the
+    MinHash Jaccard estimate, losers = the larger id of each verified pair
+    (one pass; transitive chains resolve to the min id because every later
+    member pairs with an earlier one through shared buckets or survives to
+    the next run — exact connected components are overkill for filter-grade
+    dedup and would add an iterative shuffle)."""
+    with_sig = minhash_signatures(df, text_col, num_hashes, shingle_size)
+    cands = minhash_lsh_candidates(with_sig, id_col, "minhash", bands)
+    sigs = with_sig.select(F.col(id_col), F.col("minhash"))
+    pairs = (
+        cands.join(
+            sigs.withColumnsRenamed({id_col: "id_a", "minhash": "sig_a"}), on="id_a"
+        )
+        .join(sigs.withColumnsRenamed({id_col: "id_b", "minhash": "sig_b"}), on="id_b")
+        .where(estimated_jaccard(F.col("sig_a"), F.col("sig_b")) >= threshold)
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return with_sig.join(losers, on=id_col, how="left_anti").drop("minhash")
+
+
+# --- simhash -----------------------------------------------------------------
+
+def simhash(text: str | Column = "text", bits: int = 64) -> Column:
+    """64-bit SimHash over whitespace tokens, fully JVM-side.
+
+    Each token hashes to 64 bits; bit b of the fingerprint is the sign of
+    sum over tokens of (+1 if token bit set else -1). The per-bit vote is
+    an aggregate over the token array (two nested higher-order functions)."""
+    t = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.lower(F.trim(t)), r"\s+")
+    hashes = F.transform(toks, lambda w: F.xxhash64(w))
+    votes = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda b: F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs by banded SimHash (pigeonhole: any pair
+    within `max_hamming <= bands - 1` bits shares at least one exact
+    16-bit band), verified by exact Hamming distance."""
+    width = 64 // bands
+    banded = df.select(
+        F.col(id_col),
+        F.col(sim_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col(sim_col), i * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col(f"a.{sim_col}"), F.col(f"b.{sim_col}")).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# --- n-gram Jaccard ----------------------------------------------------------
+
+def word_ngrams(text: str | Column, n: int = 3) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.lower(F.trim(t)), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >=1 n-gram.
+
+    explode -> self-join on the n-gram -> pair intersection counts ->
+    |A ∪ B| = |A| + |B| - |A ∩ B|. The join key is the n-gram itself —
+    common n-grams fan out, so this exact variant is the *verifier*; at
+    scale run it behind minhash_lsh_candidates."""
+    grams = df.select(
+        F.col(id_col), word_ngrams(text_col, n).alias("_g")
+    ).withColumn("_sz", F.size("_g"))
+    exploded = grams.select(id_col, "_sz", F.explode("_g").alias("gram"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._sz").alias("sz_a"),
+            F.col("b._sz").alias("sz_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

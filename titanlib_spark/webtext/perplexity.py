@@ -1,0 +1,164 @@
+"""Character-bigram perplexity scoring + neighborhood outlier rejection.
+
+The SCT analogue named by the north_star ("a batched character/word n-gram
+hash + KenLM-style perplexity scorer flags outlier documents"). Two parts:
+
+1. **Scorer** — per-language character-bigram log-probability tables built
+   deterministically at import from the embedded lexicon corpus (Laplace
+   smoothing over a 30-symbol alphabet). A KenLM deployment swaps the
+   table lookup for a real model inside the same Arrow-vectorized UDF.
+   Score = mean negative log2 probability per character transition
+   (bits/char); random character soup scores ~log2(30) ≈ 4.9, in-domain
+   text ~1.5-2.5 — a wide, stable margin.
+
+2. **Outlier check** — the reference SCT decision recast
+   (reference src/sct_resistant.cpp:971-1011: score normalized by robust
+   neighborhood statistics z = (chi - median) / (IQR + IQR/sqrt(n)), flag
+   above threshold; hierarchy global -> outer -> inner from
+   src/util.cpp:232-295 becomes host-stats-with-global-fallback here).
+   Hosts with fewer than `num_min` scoreable docs fall back to the global
+   background instead of being skipped — the accept_isolated decision is
+   thereby made *safe* (isolated docs still get QC'd, against the global
+   profile). Iterates until no new flags (early stop,
+   src/buddy_check.cpp:161-176), flagging all above-threshold docs per
+   round (the reference's worst-only-per-centroid is a serialization
+   artifact of overlapping neighborhoods; host groups are disjoint, so
+   batch rejection per group converges to the same fixpoint).
+
+Plan shape per iteration: one groupBy(host) exact-percentile aggregation
+(map-side partial), one broadcast of the tiny stats table back — no
+row-explosion joins, no Python in the loop (the scorer UDF runs once,
+before the loop).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from titanlib_spark.flags import BAD, GOOD, apply_check_flags, ensure_flags
+from titanlib_spark.webtext.lexicon import CONTENT_WORDS, LANGS, STOPWORDS
+
+_ALPHABET = "abcdefghijklmnopqrstuvwxyz .\n?"  # '?' = out-of-alphabet bucket
+_A = len(_ALPHABET)
+_CHAR_IDX = np.full(256, _ALPHABET.index("?"), dtype=np.int64)
+for _i, _c in enumerate(_ALPHABET):
+    _CHAR_IDX[ord(_c)] = _i
+
+
+def _train_table(corpus: str) -> np.ndarray:
+    """Laplace-smoothed bigram -log2 P(next|prev) table, shape (A, A)."""
+    idx = _CHAR_IDX[np.frombuffer(corpus.encode("latin-1", "replace"), dtype=np.uint8)]
+    counts = np.ones((_A, _A), dtype=np.float64)  # add-one smoothing
+    np.add.at(counts, (idx[:-1], idx[1:]), 1.0)
+    probs = counts / counts.sum(axis=1, keepdims=True)
+    return -np.log2(probs)
+
+
+def _corpus(lang: str) -> str:
+    words = list(STOPWORDS[lang]) + list(CONTENT_WORDS[lang])
+    # repeat to weight transitions like running text; deterministic order
+    line = " ".join(words) + ".\n"
+    return line * 4
+
+
+_TABLES: dict[str, np.ndarray] = {lang: _train_table(_corpus(lang)) for lang in LANGS}
+
+
+def score_batch(texts: pd.Series, langs: pd.Series) -> pd.Series:
+    """bits/char bigram cross-entropy of each doc under its language table
+    (unknown language -> English table)."""
+    out = np.full(len(texts), np.nan)
+    tvals = texts.to_numpy(dtype=object)
+    lvals = langs.to_numpy(dtype=object)
+    for i in range(len(tvals)):
+        t = tvals[i]
+        if t is None or not isinstance(t, str) or len(t) < 2:
+            continue
+        table = _TABLES.get(lvals[i], _TABLES["en"])
+        idx = _CHAR_IDX[
+            np.frombuffer(t.lower().encode("latin-1", "replace"), dtype=np.uint8)
+        ]
+        out[i] = table[idx[:-1], idx[1:]].mean()
+    return pd.Series(out, index=texts.index)
+
+
+@F.pandas_udf(T.DoubleType())
+def _ppl_udf(text: pd.Series, lang: pd.Series) -> pd.Series:
+    return score_batch(text, lang)
+
+
+def perplexity(text_col: str | Column = "text",
+               lang_col: str | Column = "pred_lang") -> Column:
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    lg = F.col(lang_col) if isinstance(lang_col, str) else lang_col
+    return _ppl_udf(t, lg)
+
+
+def perplexity_outlier_check(
+    df: DataFrame,
+    group_col: str = "host",
+    threshold: float = 6.0,
+    num_min: int = 10,
+    num_iterations: int = 5,
+    ppl_col: str = "ppl",
+    flag_col: str = "flags",
+    valid_max: float | None = None,
+) -> DataFrame:
+    """Flag docs whose perplexity is a robust-z outlier vs their host peers
+    (global-background fallback for thin hosts). `ppl_col` must already be
+    attached (see :func:`perplexity`); null ppl rows are not candidates
+    (they are handled by metadata/range stages).
+
+    `valid_max` is the reference's *valid value band* (fgt/sct_resistant
+    value_minv/maxv, reference src/fgt.cpp:875-889: a score inside the
+    valid band vouches for the row — it is never a rejection candidate,
+    however extreme its z against an unusually tight neighborhood)."""
+    df = ensure_flags(df, flag_col)
+
+    for _ in range(int(num_iterations)):
+        good = df.where((F.col(flag_col) == GOOD) & F.col(ppl_col).isNotNull())
+        host_stats = good.groupBy(group_col).agg(
+            F.expr(f"percentile({ppl_col}, 0.5)").alias("_h_mu"),
+            (
+                F.expr(f"percentile({ppl_col}, 0.75)")
+                - F.expr(f"percentile({ppl_col}, 0.25)")
+            ).alias("_h_iqr"),
+            F.count(F.lit(1)).alias("_h_n"),
+        )
+        g_mu, g_iqr, g_n = good.select(
+            F.expr(f"percentile({ppl_col}, 0.5)"),
+            F.expr(f"percentile({ppl_col}, 0.75)") - F.expr(f"percentile({ppl_col}, 0.25)"),
+            F.count(F.lit(1)),
+        ).first()
+        if g_n == 0:
+            break
+
+        joined = df.join(F.broadcast(host_stats), on=group_col, how="left")
+        use_host = F.col("_h_n").isNotNull() & (F.col("_h_n") >= int(num_min))
+        mu = F.when(use_host, F.col("_h_mu")).otherwise(F.lit(float(g_mu)))
+        iqr = F.when(use_host, F.col("_h_iqr")).otherwise(F.lit(float(g_iqr or 0.0)))
+        n = F.when(use_host, F.col("_h_n")).otherwise(F.lit(int(g_n)))
+        denom = iqr + iqr / F.sqrt(n.cast("double"))
+        # degenerate spread (IQR=0): fall back to a fixed floor so wild
+        # outliers are still caught (reference clamps scales the same way,
+        # e.g. min_horizontal_scale src/sct_resistant.cpp:882-912)
+        z = (F.col(ppl_col) - mu) / F.when(denom > 1e-9, denom).otherwise(F.lit(0.25))
+        verdict = F.col(ppl_col).isNotNull() & (z > float(threshold))
+        if valid_max is not None:
+            verdict = verdict & (F.col(ppl_col) > float(valid_max))
+        new_df = apply_check_flags(
+            joined, F.when(verdict, BAD).otherwise(GOOD), flag_col
+        ).drop("_h_mu", "_h_iqr", "_h_n")
+        new_df = new_df.localCheckpoint(eager=True)
+        newly = (
+            new_df.where(F.col(flag_col) != GOOD).count()
+            - df.where(F.col(flag_col) != GOOD).count()
+        )
+        df = new_df
+        if newly == 0:
+            break
+    return df

@@ -1,0 +1,155 @@
+"""The full quality-filter pipeline: langid -> heuristics -> dedup ->
+perplexity outlier -> scrub, producing keep/drop flags + reasons.
+
+Composition follows the reference's Dataset pipeline semantics
+(reference src/dataset.cpp:18-26): checks run in the recommended order
+(metadata -> range -> duplicate -> [isolation] -> outlier,
+src/sct_resistant.cpp:188-190), flags accumulate monotonically, and the
+neighbor-dependent stage (perplexity outlier) sees only rows still GOOD
+after the cheap row-local stages — the reference's flag-pushdown
+(src/dataset.cpp:222-241) expressed as a filter Catalyst pushes into the
+scan.
+
+Everything row-local is a single whole-stage-codegen projection; the only
+shuffles are (1) the content-hash dedup window, (2) the per-host
+percentile aggregation inside the outlier loop. At 100 TB both shuffle on
+well-distributed keys (md5, host — hot hosts are bounded by the global
+fallback path, and the output write salts on url hash).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from titanlib_spark.flags import BAD, GOOD, apply_check_flags, ensure_flags
+from titanlib_spark.webtext import heuristics as H
+from titanlib_spark.webtext.dedup import is_duplicate
+from titanlib_spark.webtext.extract import extract_text
+from titanlib_spark.webtext.langid import with_langid
+from titanlib_spark.webtext.perplexity import perplexity, perplexity_outlier_check
+from titanlib_spark.webtext.scrub import with_scrubbed_text
+
+
+@dataclass(frozen=True)
+class QualityFilterConfig:
+    """Gopher/C4-style bounds (the range_check parameter vector)."""
+
+    min_words: int = 20
+    max_words: int = 100_000
+    min_mean_word_length: float = 2.5
+    max_mean_word_length: float = 12.0
+    max_symbol_word_ratio: float = 0.25
+    min_stopword_ratio: float = 0.12
+    min_alpha_word_ratio: float = 0.70
+    max_dup_line_frac: float = 0.30
+    max_dup_para_frac: float = 0.30
+    allowed_langs: tuple[str, ...] = ("en", "de", "fr", "es")
+    min_lang_score: float = 0.08
+    # perplexity outlier stage (the SCT analogue)
+    ppl_threshold: float = 6.0
+    ppl_num_min: int = 10
+    ppl_iterations: int = 5
+    # absolute "clearly fine" band: bits/char at or below this is never an
+    # outlier (in-domain text scores ~1.5-3.7, random chars ~4.9)
+    ppl_valid_max: float = 4.2
+    run_ppl_stage: bool = True
+    # extract text from html when the text column is null
+    extract_missing_text: bool = True
+    text_col: str = "text"
+    url_col: str = "url"
+
+
+def host_of(url_col: str = "url"):
+    return F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)", 1)
+
+
+def _rule_columns(cfg: QualityFilterConfig) -> dict[str, F.Column]:
+    """Named boolean drop-rules over the feature columns. Null feature
+    (empty doc) only triggers the empty_text rule — mirrored from the
+    reference's flag-invalid-up-front convention (src/buddy_check.cpp:64-67)."""
+    t = cfg.text_col
+    empty = H.is_empty_text(t)
+
+    def rng(c, lo=None, hi=None):
+        cond = F.lit(False)
+        if lo is not None:
+            cond = cond | (c < F.lit(lo))
+        if hi is not None:
+            cond = cond | (c > F.lit(hi))
+        return (~empty) & F.coalesce(cond, F.lit(False))
+
+    return {
+        "empty_text": empty,
+        "min_words": rng(F.col("n_words"), lo=cfg.min_words),
+        "max_words": rng(F.col("n_words"), hi=cfg.max_words),
+        "mean_word_length": rng(
+            F.col("mean_word_length"),
+            lo=cfg.min_mean_word_length,
+            hi=cfg.max_mean_word_length,
+        ),
+        "symbol_ratio": rng(F.col("symbol_word_ratio"), hi=cfg.max_symbol_word_ratio),
+        "stopword_ratio": rng(F.col("stopword_ratio"), lo=cfg.min_stopword_ratio),
+        "alpha_word_ratio": rng(F.col("alpha_word_ratio"), lo=cfg.min_alpha_word_ratio),
+        "dup_line_frac": rng(F.col("dup_line_frac"), hi=cfg.max_dup_line_frac),
+        "dup_para_frac": rng(F.col("dup_para_frac"), hi=cfg.max_dup_para_frac),
+        "lang": (~empty)
+        & (
+            ~F.col("pred_lang").isin(*cfg.allowed_langs)
+            | (F.col("pred_lang_score") < cfg.min_lang_score)
+        ),
+        "duplicate": F.col("is_duplicate"),
+    }
+
+
+def run_quality_pipeline(
+    df: DataFrame, cfg: QualityFilterConfig | None = None
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang, ...) -> + (flags, keep, reasons,
+    pred_lang, pred_lang_score, ppl, scrubbed_text, host)."""
+    cfg = cfg or QualityFilterConfig()
+    t = cfg.text_col
+
+    if cfg.extract_missing_text and "html" in df.columns:
+        df = df.withColumn(
+            t, F.coalesce(F.col(t), extract_text("html"))
+        )
+
+    df = df.withColumn("host", host_of(cfg.url_col))
+    df = with_langid(df, text_col=t)
+    df = H.with_quality_features(df, text_col=t, lang_col="pred_lang")
+    df = is_duplicate(df, text_col=t)
+
+    rules = _rule_columns(cfg)
+    reasons = F.array_compact(
+        F.array(*[F.when(cond, F.lit(name)) for name, cond in rules.items()])
+    )
+    df = df.withColumn("reasons", reasons)
+    df = ensure_flags(df)
+    df = apply_check_flags(df, F.when(F.size("reasons") > 0, BAD).otherwise(GOOD))
+
+    if cfg.run_ppl_stage:
+        df = df.withColumn(
+            "ppl",
+            F.when(F.col("flags") == GOOD, perplexity(t, "pred_lang")),
+        )
+        df = perplexity_outlier_check(
+            df,
+            group_col="host",
+            threshold=cfg.ppl_threshold,
+            num_min=cfg.ppl_num_min,
+            num_iterations=cfg.ppl_iterations,
+            valid_max=cfg.ppl_valid_max,
+        )
+        df = df.withColumn(
+            "reasons",
+            F.when(
+                (F.col("flags") != GOOD) & (F.size("reasons") == 0),
+                F.array(F.lit("ppl_outlier")),
+            ).otherwise(F.col("reasons")),
+        )
+
+    df = with_scrubbed_text(df, text_col=t)
+    return df.withColumn("keep", F.col("flags") == GOOD)
