@@ -1,0 +1,101 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Also times the flagship webtext quality pipeline on a generated page table
+(docs/sec is the north-star throughput metric). Scaling-efficiency runs
+(local[8] vs local[32]) are driven by scripts/scaling_bench.py, which
+shells out to this file at two parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entry  # noqa: E402
+from titanlib_spark.session import get_spark  # noqa: E402
+from titanlib_spark.webtext.generate import generate_pages  # noqa: E402
+from titanlib_spark.webtext.pipeline import QualityFilterConfig, run_quality_pipeline  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+QC_DOCS = int(os.environ.get("SPARK_GRAFT_QC_DOCS", "20000"))
+
+# headline subset: scans/aggs/joins + one member of each QC family +
+# webtext/text-ops (minhash/sct excluded here: benchmarked via tests;
+# they dominate wall time without adding signal at this sf)
+HEADLINE = [
+    "tpch_q1",
+    "orders_by_nation",
+    "events_hourly",
+    "range_check",
+    "metadata_check",
+    "isolation_check",
+    "buddy_check",
+    "fgt",
+    "dup_exact",
+    "wt_token_counts",
+    "wt_quality_features",
+    "wt_scrub",
+    "wt_pipeline",
+    "ngram_jaccard",
+    "ann_topk",
+]
+
+
+def materialize(df) -> int:
+    """Force full execution without driver-side row transfer."""
+    return df.write.format("noop").mode("overwrite").save() or 0
+
+
+def main() -> None:
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    spark = get_spark(
+        "titanlib_spark_bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(8, CPUS),
+    )
+
+    qs = entry.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        materialize(qs[name](spark, SF_DIR))
+        times[name] = round(time.time() - t0, 3)
+
+    # flagship: webtext QC pipeline docs/sec (generation excluded via cache)
+    pages = generate_pages(spark, QC_DOCS, seed=42).cache()
+    pages.count()
+    t0 = time.time()
+    result = run_quality_pipeline(pages, QualityFilterConfig())
+    materialize(result.select("url", "flags", "keep", "reasons", "scrubbed_text"))
+    qc_sec = time.time() - t0
+    times["webtext_qc_pipeline"] = round(qc_sec, 3)
+    pages.unpersist()
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "cpus": CPUS,
+                "qc_docs": QC_DOCS,
+                "qc_docs_per_sec": round(QC_DOCS / qc_sec, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Two-parallelism scaling run (the sandbox stand-in for N vs 4N executors).
+
+Runs bench.py at local[8] and local[32] on the SAME input, reports both
+throughputs and the scaling efficiency
+
+    eff = (t_N / t_4N) / 4        (ideal 4x speedup -> eff 1.0)
+
+plus the reference's own efficiency formula
+(reference tests/benchmark.py:105-110):
+
+    eff_ref = 1 - (t_n - t_1/n) / (t_1 - t_1/n)   with n = 4, t_1 := t_N
+
+Appends a results block to BENCH_SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(cpus: int, sf_dir: str, qc_docs: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_QC_DOCS=str(qc_docs),
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=3600,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    qc_docs = int(os.environ.get("SPARK_GRAFT_QC_DOCS", "60000"))
+    lo, hi = 8, 32
+
+    r_lo = run(lo, sf_dir, qc_docs)
+    r_hi = run(hi, sf_dir, qc_docs)
+
+    t_lo = r_lo["queries"]["webtext_qc_pipeline"]
+    t_hi = r_hi["queries"]["webtext_qc_pipeline"]
+    n = hi // lo
+    speedup = t_lo / t_hi
+    eff = speedup / n
+    eff_ref = 1 - (t_hi - t_lo / n) / (t_lo - t_lo / n)
+
+    block = f"""
+## Scaling run {time.strftime('%Y-%m-%d %H:%M:%S')}
+
+Same input (webtext QC pipeline over {qc_docs} generated pages + headline
+suite at {sf_dir}), two parallelism levels:
+
+| cores | qc pipeline sec | docs/sec | headline total sec |
+|---|---|---|---|
+| local[{lo}] | {t_lo} | {r_lo['qc_docs_per_sec']} | {r_lo['value']} |
+| local[{hi}] | {t_hi} | {r_hi['qc_docs_per_sec']} | {r_hi['value']} |
+
+* speedup {lo}->{hi} cores: **{speedup:.2f}x** (ideal {n}x)
+* scaling efficiency (speedup/{n}): **{eff:.2f}** (target >= 0.8)
+* reference formula eff (tests/benchmark.py:105-110, t_1 := t_{lo}): {eff_ref:.2f}
+"""
+    with open(os.path.join(REPO, "BENCH_SCALING.md"), "a") as f:
+        f.write(block)
+    print(json.dumps({
+        "t_lo": t_lo, "t_hi": t_hi, "speedup": round(speedup, 3),
+        "efficiency": round(eff, 3), "efficiency_ref": round(eff_ref, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -192,7 +192,8 @@ def background(
     elif mode in ("vertical_profile", "theil_sen"):
         kernel = vertical_profile_np if mode == "vertical_profile" else theil_sen_np
 
-        schema = df.schema.add(out_col, "double")
+        from pyspark.sql.types import DoubleType, StructField, StructType
+        schema = StructType(list(df.schema.fields) + [StructField(out_col, DoubleType())])
 
         def fit(pdf):
             vp = kernel(

@@ -53,7 +53,9 @@ def lag_reduction_filter(
     value_col: str = "value",
     out_col: str = "filtered",
 ) -> DataFrame:
-    schema = df.schema.add(out_col, "double")
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(list(df.schema.fields) + [StructField(out_col, DoubleType())])
 
     def apply(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(time_col).reset_index(drop=True)

@@ -162,31 +162,31 @@ def simhash(text: str | Column = "text", bits: int = 64) -> Column:
     """64-bit SimHash over whitespace tokens, fully JVM-side.
 
     Each token hashes to 64 bits; bit b of the fingerprint is the sign of
-    sum over tokens of (+1 if token bit set else -1). The per-bit vote is
-    an aggregate over the token array (two nested higher-order functions)."""
+    sum over tokens of (+1 if token bit set else -1). Each per-bit vote is
+    one `aggregate` over the (pre-hashed) token array; the 64 votes are
+    independent subexpressions of a single projection, so Catalyst
+    evaluates them in one codegen stage over one pass of cached hashes."""
     t = F.col(text) if isinstance(text, str) else text
     toks = F.split(F.lower(F.trim(t)), r"\s+")
     hashes = F.transform(toks, lambda w: F.xxhash64(w))
-    votes = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda b: F.aggregate(
+    def bit_vote(b: int) -> Column:
+        # NB: F.aggregate requires an exactly-2-arg merge lambda, so the
+        # loop variable is captured via this factory, not a default arg
+        return F.aggregate(
             hashes,
             F.lit(0),
             lambda acc, h: acc
             + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        ),
-    )
-    return F.aggregate(
-        F.zip_with(
-            votes,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+        )
+
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim.bitwiseOR(
+            F.when(bit_vote(b) > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
                 F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
+            )
+        )
+    return sim
 
 
 def hamming64(a: Column, b: Column) -> Column:

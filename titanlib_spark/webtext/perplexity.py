@@ -107,6 +107,7 @@ def perplexity_outlier_check(
     ppl_col: str = "ppl",
     flag_col: str = "flags",
     valid_max: float | None = None,
+    id_col: str = "url",
 ) -> DataFrame:
     """Flag docs whose perplexity is a robust-z outlier vs their host peers
     (global-background fallback for thin hosts). `ppl_col` must already be
@@ -116,11 +117,26 @@ def perplexity_outlier_check(
     `valid_max` is the reference's *valid value band* (fgt/sct_resistant
     value_minv/maxv, reference src/fgt.cpp:875-889: a score inside the
     valid band vouches for the row — it is never a rejection candidate,
-    however extreme its z against an unusually tight neighborhood)."""
+    however extreme its z against an unusually tight neighborhood).
+
+    The fixpoint loop runs over a slim (id, group, ppl, flag) projection —
+    materialized once — so per-iteration checkpoints never re-serialize
+    the wide page payload (html/text); the accumulated verdicts join back
+    onto the full frame exactly once at the end."""
     df = ensure_flags(df, flag_col)
+    # materialize the slim working set ONCE: every iteration makes several
+    # passes (group stats, global stats, verdict join, fixpoint count) and
+    # must not re-run the upstream langid/feature UDF chain each time
+    slim = df.select(
+        F.col(id_col).alias("_pid"),
+        F.col(group_col),
+        F.col(ppl_col),
+        F.col(flag_col),
+    ).localCheckpoint(eager=True)
+    prev_bad = slim.where(F.col(flag_col) != GOOD).count()
 
     for _ in range(int(num_iterations)):
-        good = df.where((F.col(flag_col) == GOOD) & F.col(ppl_col).isNotNull())
+        good = slim.where((F.col(flag_col) == GOOD) & F.col(ppl_col).isNotNull())
         host_stats = good.groupBy(group_col).agg(
             F.expr(f"percentile({ppl_col}, 0.5)").alias("_h_mu"),
             (
@@ -137,7 +153,7 @@ def perplexity_outlier_check(
         if g_n == 0:
             break
 
-        joined = df.join(F.broadcast(host_stats), on=group_col, how="left")
+        joined = slim.join(F.broadcast(host_stats), on=group_col, how="left")
         use_host = F.col("_h_n").isNotNull() & (F.col("_h_n") >= int(num_min))
         mu = F.when(use_host, F.col("_h_mu")).otherwise(F.lit(float(g_mu)))
         iqr = F.when(use_host, F.col("_h_iqr")).otherwise(F.lit(float(g_iqr or 0.0)))
@@ -150,15 +166,23 @@ def perplexity_outlier_check(
         verdict = F.col(ppl_col).isNotNull() & (z > float(threshold))
         if valid_max is not None:
             verdict = verdict & (F.col(ppl_col) > float(valid_max))
-        new_df = apply_check_flags(
+        new_slim = apply_check_flags(
             joined, F.when(verdict, BAD).otherwise(GOOD), flag_col
         ).drop("_h_mu", "_h_iqr", "_h_n")
-        new_df = new_df.localCheckpoint(eager=True)
-        newly = (
-            new_df.where(F.col(flag_col) != GOOD).count()
-            - df.where(F.col(flag_col) != GOOD).count()
-        )
-        df = new_df
-        if newly == 0:
+        new_slim = new_slim.localCheckpoint(eager=True)
+        new_bad = new_slim.where(F.col(flag_col) != GOOD).count()
+        slim = new_slim
+        if new_bad == prev_bad:
             break
-    return df
+        prev_bad = new_bad
+
+    # join accumulated verdicts back onto the wide frame (one pass)
+    verdicts = slim.select(
+        F.col("_pid"), F.col(flag_col).alias("_ppl_flag")
+    )
+    out = df.drop(flag_col).join(
+        verdicts, on=F.col(id_col) == F.col("_pid"), how="left"
+    )
+    return out.withColumn(
+        flag_col, F.coalesce(F.col("_ppl_flag"), F.lit(GOOD))
+    ).drop("_pid", "_ppl_flag")

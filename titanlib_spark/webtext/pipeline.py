@@ -135,6 +135,12 @@ def run_quality_pipeline(
             "ppl",
             F.when(F.col("flags") == GOOD, perplexity(t, "pred_lang")),
         )
+        # materialize the UDF chain once before the iterative stage; html
+        # (the dominant payload) has served its purpose after extraction
+        # and is not carried into the iterative/output stages
+        if "html" in df.columns:
+            df = df.drop("html")
+        df = df.localCheckpoint(eager=True)
         df = perplexity_outlier_check(
             df,
             group_col="host",
