@@ -1,0 +1,166 @@
+"""Training-data ops tests: dedup family, similarity search, text stats,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from titanlib_spark.textops.dedup import (
+    char_shingles,
+    estimated_jaccard,
+    exact_dedup,
+    hamming64,
+    minhash_lsh_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from titanlib_spark.textops.multimodal import (
+    frame_sample,
+    image_features,
+    resize_spec,
+    synthetic_media,
+)
+from titanlib_spark.textops.similarity import (
+    cosine_topk,
+    lsh_bucketed_topk,
+    with_normalized_embedding,
+)
+from titanlib_spark.textops.stats import (
+    bpe_ish_token_count,
+    fingerprint,
+    quality_score,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup
+        (2, "the quick brown fox jumps over the lazy dog again and often"),  # near dup
+        (3, "completely different content about spark partitions and shuffles"),
+        (4, "spark partitions and shuffles require care at scale always"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(docs):
+    kept = exact_dedup(docs, "text", order_cols=("doc_id",))
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 0 in ids and 1 not in ids  # first-wins
+    assert {2, 3, 4, 5} <= ids
+
+
+def test_minhash_estimates_jaccard(docs):
+    sigs = minhash_signatures(docs, num_hashes=128, shingle_size=5)
+    pair = sigs.select(F.col("doc_id"), F.col("minhash")).collect()
+    by_id = {r.doc_id: r.minhash for r in pair}
+    assert by_id[5] is None  # empty doc -> null signature
+    assert by_id[0] == by_id[1]  # identical docs, identical signatures
+    est = (
+        sigs.where(F.col("doc_id").isin(0, 2))
+        .agg(F.collect_list("minhash"))
+        .first()[0]
+    )
+    agree = sum(1 for a, b in zip(est[0], est[1]) if a == b) / len(est[0])
+    assert agree > 0.5  # near-dups agree on most slots
+
+
+def test_minhash_lsh_dedup_drops_near_dups(docs):
+    kept = minhash_lsh_dedup(
+        docs, id_col="doc_id", text_col="text", threshold=0.8, num_hashes=64, bands=16
+    )
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert 0 in ids and 1 not in ids  # exact dup removed (larger id loses)
+    assert 3 in ids and 4 in ids  # dissimilar docs survive
+
+
+def test_simhash_hamming(docs, spark):
+    h = docs.select("doc_id", simhash("text").alias("sh")).collect()
+    by_id = {r.doc_id: r.sh for r in h}
+    assert by_id[0] == by_id[1]
+    d_near = bin(by_id[0] ^ by_id[2]).count("1")
+    d_far = bin(by_id[0] ^ by_id[3]).count("1")
+    assert d_near < d_far
+    pairs = simhash_near_pairs(
+        docs.select("doc_id", simhash("text").alias("simhash")),
+        max_hamming=8,
+        bands=4,
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in got
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert got[(0, 1)] == 1.0
+    assert (0, 3) not in got
+
+
+def test_cosine_topk_exact(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    rows.append((4, [0.9, 0.1, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    top = cosine_topk(df, [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert [r.vec_id for r in top] == [0, 4]
+    assert abs(top[0].cosine_sim - 1.0) < 1e-12
+
+
+def test_lsh_topk_recall(spark):
+    rng = np.random.default_rng(3)
+    n, d = 2000, 16
+    vecs = rng.standard_normal((n, d))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    q = [float(x) for x in vecs[17]]
+    exact = [r.vec_id for r in cosine_topk(df, q, k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in lsh_bucketed_topk(df, q, k=10, n_planes=6, multiprobe_bits=1).collect()
+    ]
+    assert exact[0] == 17 and approx[0] == 17
+    # multiprobe LSH should recover a majority of the true top-10
+    assert len(set(exact) & set(approx)) >= 5
+
+
+def test_stats_exprs(docs):
+    out = docs.select(
+        "doc_id",
+        token_count("text").alias("tc"),
+        bpe_ish_token_count("text").alias("bc"),
+        fingerprint("text").alias("fp"),
+        quality_score("text").alias("q"),
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[0].tc == 12
+    assert by_id[5].tc == 0
+    assert by_id[0].fp == by_id[1].fp
+    assert 0.0 <= by_id[0].q <= 1.0
+    assert by_id[0].q > by_id[5].q
+
+
+def test_multimodal_plumbing(spark):
+    media = synthetic_media(spark, 30, seed=1).cache()
+    assert media.count() == 30
+    imgs = media.where(F.col("media_type") == "image")
+    feats = image_features(imgs, out_dim=8)
+    rows = feats.collect()
+    assert all(len(r.feature) == 8 for r in rows if r.feature is not None)
+    # deterministic: same input -> same features
+    again = {r.media_id: r.feature for r in image_features(imgs, out_dim=8).collect()}
+    for r in rows:
+        assert again[r.media_id] == r.feature
+    vids = media.where(F.col("media_type") == "video")
+    frames = frame_sample(vids, every_s=1.0)
+    assert frames.count() >= vids.count()
+    spec = resize_spec(imgs.fillna(0, ["width", "height"]), max_side=16).collect()
+    assert all(r.target_width <= 16 and r.target_height <= 16 for r in spec)

@@ -41,10 +41,16 @@ def exact_dedup(
 
 def char_shingles(text: str | Column, n: int = 5) -> Column:
     """Distinct lowercase character n-grams, computed JVM-side:
-    sequence(1, len-n+1) -> substring — one codegen stage, no UDF."""
+    sequence(1, len-n+1) -> substring — one codegen stage, no UDF.
+
+    NB: Spark's sequence(1, 0) yields the DESCENDING [1, 0], not an empty
+    array, so too-short inputs need an explicit guard."""
     t = F.lower(F.col(text) if isinstance(text, str) else text)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(0)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, n)))
+    idx = F.sequence(F.lit(1), F.length(t) - (n - 1))
+    return F.when(
+        F.length(t) >= n,
+        F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def minhash_signatures(
@@ -241,10 +247,13 @@ def simhash_near_pairs(
 def word_ngrams(text: str | Column, n: int = 3) -> Column:
     t = F.col(text) if isinstance(text, str) else text
     toks = F.split(F.lower(F.trim(t)), r"\s+")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    )
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def ngram_jaccard_pairs(
