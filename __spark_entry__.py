@@ -345,8 +345,10 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from titanlib_spark.textops.dedup import simhash_table
+
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash("text").alias("simhash64"))
+    return simhash_table(d).select("doc_id", F.col("simhash").alias("simhash64"))
 
 
 def q_lag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -69,7 +69,19 @@ def main() -> None:
         materialize(qs[name](spark, SF_DIR))
         times[name] = round(time.time() - t0, 3)
 
-    # flagship: webtext QC pipeline docs/sec (generation excluded via cache)
+    # flagship: webtext QC pipeline docs/sec (generation excluded via cache).
+    # One warm-up pass first: the cold run pays ~60-70s of one-time JVM
+    # JIT/codegen + python-worker spin-up that a long-lived cluster
+    # amortizes away; steady-state throughput is the comparable number.
+    warm = generate_pages(spark, 2000, seed=7).cache()
+    warm.count()
+    materialize(
+        run_quality_pipeline(warm, QualityFilterConfig()).select(
+            "url", "flags", "keep", "reasons", "scrubbed_text"
+        )
+    )
+    warm.unpersist()
+
     pages = generate_pages(spark, QC_DOCS, seed=42).cache()
     pages.count()
     t0 = time.time()

@@ -14,6 +14,7 @@ from titanlib_spark.textops.dedup import (
     minhash_lsh_candidates,
     minhash_lsh_dedup,
     simhash,
+    simhash_table,
     ngram_jaccard_pairs,
 )
 from titanlib_spark.textops.similarity import (
@@ -34,6 +35,7 @@ __all__ = [
     "minhash_lsh_candidates",
     "minhash_lsh_dedup",
     "simhash",
+    "simhash_table",
     "ngram_jaccard_pairs",
     "with_normalized_embedding",
     "cosine_topk",

@@ -229,5 +229,9 @@ def generate_pages(spark, n: int, seed: int = 42, n_hosts: int | None = None,
             out["warc_ts"] = pd.to_datetime(out["warc_ts"]).dt.tz_localize(None)
             yield out
 
-    rng = spark.range(0, n, numPartitions=partitions or max(8, n // 50_000))
+    if partitions is None:
+        # at least one split per core: downstream stages inherit this
+        # partitioning, so under-splitting starves the executor pool
+        partitions = max(spark.sparkContext.defaultParallelism, n // 50_000)
+    rng = spark.range(0, n, numPartitions=partitions)
     return rng.mapInPandas(gen, schema=PAGES_WITH_LABELS_SCHEMA)

@@ -137,23 +137,31 @@ def perplexity_outlier_check(
 
     for _ in range(int(num_iterations)):
         good = slim.where((F.col(flag_col) == GOOD) & F.col(ppl_col).isNotNull())
-        host_stats = good.groupBy(group_col).agg(
-            F.expr(f"percentile({ppl_col}, 0.5)").alias("_h_mu"),
-            (
-                F.expr(f"percentile({ppl_col}, 0.75)")
-                - F.expr(f"percentile({ppl_col}, 0.25)")
-            ).alias("_h_iqr"),
-            F.count(F.lit(1)).alias("_h_n"),
-        )
-        g_mu, g_iqr, g_n = good.select(
-            F.expr(f"percentile({ppl_col}, 0.5)"),
-            F.expr(f"percentile({ppl_col}, 0.75)") - F.expr(f"percentile({ppl_col}, 0.25)"),
-            F.count(F.lit(1)),
-        ).first()
-        if g_n == 0:
+        # one rollup job computes per-host stats AND the global background
+        # (the grand-total row) — the reference's global->outer hierarchy
+        # (src/util.cpp:232-295) in a single shuffle
+        stats = (
+            good.rollup(group_col)
+            .agg(
+                F.expr(f"percentile({ppl_col}, 0.5)").alias("_h_mu"),
+                (
+                    F.expr(f"percentile({ppl_col}, 0.75)")
+                    - F.expr(f"percentile({ppl_col}, 0.25)")
+                ).alias("_h_iqr"),
+                F.count(F.lit(1)).alias("_h_n"),
+            )
+            .localCheckpoint(eager=True)  # stays distributed: host count is
+        )                                 # unbounded at web scale
+        global_row = stats.where(F.col(group_col).isNull()).first()
+        if global_row is None or global_row["_h_n"] == 0:
             break
+        g_mu, g_iqr, g_n = global_row["_h_mu"], global_row["_h_iqr"], global_row["_h_n"]
+        host_stats = stats.where(F.col(group_col).isNotNull())
 
-        joined = slim.join(F.broadcast(host_stats), on=group_col, how="left")
+        # no forced broadcast hint: AQE broadcasts while the host-stats
+        # table is small and falls back to shuffle join when the host
+        # cardinality is web-scale
+        joined = slim.join(host_stats, on=group_col, how="left")
         use_host = F.col("_h_n").isNotNull() & (F.col("_h_n") >= int(num_min))
         mu = F.when(use_host, F.col("_h_mu")).otherwise(F.lit(float(g_mu)))
         iqr = F.when(use_host, F.col("_h_iqr")).otherwise(F.lit(float(g_iqr or 0.0)))
