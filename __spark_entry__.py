@@ -394,6 +394,40 @@ def q_sct_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("c_custkey"), F.col("flags").alias("qc_flag"))
 
 
+def q_interpolate_to_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from titanlib_spark.functions.geo import interpolate_to_points
+
+    geo = _customer_geo(spark, sf_dir)
+    grid = _t(spark, sf_dir, "nation").select(
+        (F.lit(40.0) + F.col("n_nationkey") * F.lit(0.5)).alias("lat"),
+        (F.lit(5.0) + F.col("n_nationkey") * F.lit(0.7)).alias("lon"),
+        F.col("n_nationkey").cast("double").alias("grid_value"),
+    )
+    out = interpolate_to_points(geo, grid)
+    return out.select(
+        F.col("id").alias("c_custkey"),
+        F.col("interpolated").cast("int").alias("nearest_grid"),
+    )
+
+
+def q_sct_resistant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from titanlib_spark.operators import sct_resistant
+
+    geo = _customer_geo(spark, sf_dir)
+    out = sct_resistant(
+        geo,
+        background_elab_type="median_outer_circle",
+        num_min_outer=5,
+        num_max_outer=30,
+        inner_radius=5000.0,
+        outer_radius=20000.0,
+        num_iterations=3,
+        tpos=6.0,
+        tneg=6.0,
+    )
+    return out.select(F.col("id").alias("c_custkey"), F.col("flags").alias("qc_flag"))
+
+
 def q_range_check_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
     geo = _customer_geo(spark, sf_dir)
     out = range_check_climatology(
@@ -441,6 +475,19 @@ _CLEAN_TOKS = (
 )
 _RAW_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 _N_WORDS = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_RAW_TOKS}) END"
+
+
+def _piecewise_sql(lat_expr: str, xs: list[float], ys: list[float]) -> str:
+    """SQL twin of operators.range_check._piecewise (find_between semantics:
+    first knot with lat > xs[i] wins; exhausted scan -> NULL, which like the
+    reference's NaN never triggers a flag)."""
+    whens = []
+    for i in range(1, len(xs)):
+        x1, x2 = float(xs[i - 1]), float(xs[i])
+        y1, y2 = float(ys[i - 1]), float(ys[i])
+        seg = f"({y1!r} + (({x1!r} - {lat_expr}) / {x1 - x2!r}) * {y2 - y1!r})"
+        whens.append(f"WHEN {lat_expr} > {x2!r} THEN {seg}")
+    return "CASE " + " ".join(whens) + " ELSE NULL END"
 
 
 def _oracle_sql() -> dict[str, str]:
@@ -556,6 +603,28 @@ SELECT id AS c_custkey,
 FROM ranked
 """
 
+    from titanlib_spark.operators.range_check import (
+        _MEAN_LATS,
+        _MEAN_TEMPS,
+        _VAR_AMPS,
+        _VAR_LATS,
+    )
+
+    mt_sql = _piecewise_sql("lat", _MEAN_LATS, _MEAN_TEMPS)
+    sv_sql = _piecewise_sql("lat", _VAR_LATS, _VAR_AMPS)
+    # unixtime 1721606400 = 2024-07-22 -> July -> seasonal factor 1.0
+    sql["range_check_climatology"] = f"""
+WITH {_GEO_SQL},
+clim AS (
+  SELECT id, value, ({mt_sql}) + (({sv_sql}) / 2.0) * 1.0 AS t
+  FROM geo
+)
+SELECT id AS c_custkey,
+       CASE WHEN value < (t + -60.0) OR value > (t + 20.0) THEN 1 ELSE 0 END
+         AS qc_flag
+FROM clim
+"""
+
     sql["background_by_nation"] = f"""
 WITH {_GEO_SQL}
 SELECT c_nationkey,
@@ -563,6 +632,34 @@ SELECT c_nationkey,
        round(quantile_cont(value, 0.5), 6) AS bg_median,
        count(*) AS n_obs
 FROM geo GROUP BY c_nationkey
+"""
+
+    sql["interpolate_to_points"] = f"""
+WITH {_GEO_SQL},
+grid AS (
+  SELECT 40.0 + n_nationkey * 0.5 AS glat,
+         5.0 + n_nationkey * 0.7 AS glon,
+         CAST(n_nationkey AS DOUBLE) AS gv
+  FROM nation
+),
+gpts AS (
+  SELECT gv,
+         cos(radians(glat)) * cos(radians(glon)) * 6370000.0 AS gx,
+         cos(radians(glat)) * sin(radians(glon)) * 6370000.0 AS gy,
+         sin(radians(glat)) * 6370000.0 AS gz
+  FROM grid
+),
+ranked AS (
+  SELECT p.id, g.gv,
+         row_number() OVER (
+           PARTITION BY p.id
+           ORDER BY (p.x-g.gx)*(p.x-g.gx) + (p.y-g.gy)*(p.y-g.gy)
+                    + (p.z-g.gz)*(p.z-g.gz) ASC, g.gv ASC
+         ) AS rn
+  FROM pts p CROSS JOIN gpts g
+)
+SELECT id AS c_custkey, CAST(gv AS INTEGER) AS nearest_grid
+FROM ranked WHERE rn = 1
 """
 
     sql["dem_check"] = """
@@ -834,6 +931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_filter": q_lag_filter,
         "sct": q_sct,
         "sct_dual": q_sct_dual,
+        "sct_resistant": q_sct_resistant,
+        "interpolate_to_points": q_interpolate_to_points,
     }
 
 

@@ -228,3 +228,45 @@ def knn_pairs(
     )
     w = Window.partitionBy(id_col).orderBy(F.col("dist").asc(), F.col(f"n_{id_col}").asc())
     return pairs.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def interpolate_to_points(
+    points_df: DataFrame,
+    grid_df: DataFrame,
+    value_col: str = "grid_value",
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    out_col: str = "interpolated",
+    coord_type: str = "geodetic",
+) -> DataFrame:
+    """Nearest-neighbor sampling of a gridded field at point locations
+    (reference interpolate_to_points, src/util.cpp:118-143: flatten the
+    grid, 1-NN lookup per point).
+
+    `grid_df` carries (lat, lon, value_col). Grids are small relative to
+    the observation table (a model field, not observations), so the plan
+    is a broadcast cross-join + per-point argmin — one pass over the big
+    side, no shuffle of it. Ties break on grid order of appearance like
+    the reference's strict '<' scan."""
+    from pyspark.sql import Window
+
+    g = with_ecef(grid_df, lat_col, lon_col, coord_type=coord_type).select(
+        F.col("x").alias("_gx"),
+        F.col("y").alias("_gy"),
+        F.col("z").alias("_gz"),
+        F.col(value_col).alias("_gv"),
+        F.monotonically_increasing_id().alias("_gi"),
+    )
+    p = with_ecef(points_df, lat_col, lon_col, coord_type=coord_type)
+    joined = p.join(F.broadcast(g))
+    dsq = chord_dist_sq(
+        F.col("x"), F.col("y"), F.col("z"), F.col("_gx"), F.col("_gy"), F.col("_gz")
+    )
+    w = Window.partitionBy(id_col).orderBy(dsq.asc(), F.col("_gi").asc())
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .withColumnRenamed("_gv", out_col)
+        .drop("_gx", "_gy", "_gz", "_gi", "_rn", "x", "y", "z")
+    )

@@ -17,6 +17,7 @@ from titanlib_spark.operators.misc import dem_check, external_check
 from titanlib_spark.operators.lag_filter import lag_reduction_filter
 from titanlib_spark.operators.sct import sct
 from titanlib_spark.operators.sct_dual import sct_dual
+from titanlib_spark.operators.sct_resistant import sct_resistant
 
 __all__ = [
     "range_check",
@@ -34,4 +35,5 @@ __all__ = [
     "lag_reduction_filter",
     "sct",
     "sct_dual",
+    "sct_resistant",
 ]

@@ -47,18 +47,22 @@ _MONTH_FACTOR = {1: -1.0, 12: -0.6, 2: -0.6, 11: -0.3, 3: -0.3, 5: 0.3, 9: 0.3, 
 
 
 def _piecewise(lat: Column, xs: list[float], ys: list[float]) -> Column:
-    """Piecewise-linear interpolation over a descending-lat lookup table,
-    mirroring find_between + interpolate (src/range_check.cpp:146-185)."""
-    expr = F.lit(float(ys[-1]))
-    # build from the last segment backwards: when lat >= xs[i+1] use segment i
-    for i in range(len(xs) - 2, -1, -1):
-        x1, x2 = float(xs[i]), float(xs[i + 1])
-        y1, y2 = float(ys[i]), float(ys[i + 1])
+    """Exact mirror of the reference's find_between + interpolate
+    (src/range_check.cpp:146-185): scan knots in array order and take the
+    FIRST i with `lat > xs[i]` -> interpolate segment (i-1, i). A scan
+    that exhausts (lat at/below the last knot — including the var table's
+    non-monotone trailing 90) yields pair(0,0) there, whose interpolation
+    is 0*inf = NaN; NaN then never triggers a range flag, which we mirror
+    with an explicit NaN fallback."""
+    expr = F.lit(float("nan"))
+    # build inside-out so the i=1 test ends up OUTERMOST (= first checked)
+    for i in range(len(xs) - 1, 0, -1):
+        x1, x2 = float(xs[i - 1]), float(xs[i])
+        y1, y2 = float(ys[i - 1]), float(ys[i])
         frac = (F.lit(x1) - lat) / F.lit(x1 - x2)
         seg = F.lit(y1) + frac * F.lit(y2 - y1)
-        expr = F.when(lat <= F.lit(x1), seg).otherwise(expr)
-    # lat above first knot: clamp to first value
-    return F.when(lat > F.lit(float(xs[0])), F.lit(float(ys[0]))).otherwise(expr)
+        expr = F.when(lat > F.lit(x2), seg).otherwise(expr)
+    return expr
 
 
 def climatology_mean(lat: Column, month: Column) -> Column:

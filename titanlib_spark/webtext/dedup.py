@@ -33,14 +33,22 @@ def is_duplicate(
     text_col: str = "text",
     order_cols: tuple[str, ...] = ("warc_ts", "url"),
     out_col: str = "is_duplicate",
+    hash_col: str | None = None,
 ) -> DataFrame:
-    """Attach a boolean `is_duplicate` column (first occurrence False)."""
-    hashable = ~is_empty_text(text_col)
+    """Attach a boolean `is_duplicate` column (first occurrence False).
+
+    Pass `hash_col` (null = non-hashable/empty doc) to dedup on a
+    precomputed content hash — the pipeline does this so the window
+    shuffle never carries raw text."""
+    if hash_col is not None:
+        hashable = F.col(hash_col).isNotNull()
+        h_raw = F.col(hash_col)
+    else:
+        hashable = ~is_empty_text(text_col)
+        h_raw = F.when(hashable, content_hash(text_col))
     # non-hashable rows partition by their own url (singleton groups) so the
     # null-hash bucket can't become one giant skewed window partition
-    h = F.when(hashable, content_hash(text_col)).otherwise(
-        F.concat(F.lit("_nohash_"), F.col(order_cols[-1]))
-    )
+    h = F.coalesce(h_raw, F.concat(F.lit("_nohash_"), F.col(order_cols[-1])))
     w = Window.partitionBy(h).orderBy(*[F.col(c).asc() for c in order_cols])
     rn = F.row_number().over(w)
     return df.withColumn(out_col, hashable & (rn > 1))

@@ -40,6 +40,13 @@ FEATURES_TYPE = T.StructType(
         T.StructField("alpha_word_ratio", T.DoubleType()),
         T.StructField("dup_line_frac", T.DoubleType()),
         T.StructField("dup_para_frac", T.DoubleType()),
+        # fused downstream stages (same Arrow pass, same semantics as
+        # perplexity.score_batch / scrub.reference_scrub / extract /
+        # Spark's md5()):
+        T.StructField("ppl", T.DoubleType()),
+        T.StructField("scrubbed_text", T.StringType()),
+        T.StructField("scrub_changed", T.BooleanType()),
+        T.StructField("content_hash", T.StringType()),
     ]
 )
 
@@ -52,15 +59,31 @@ def _dup_frac(parts: list[str]) -> float:
     return 1.0 - len(set(parts)) / n if n else None
 
 
-def analyze_batch(texts: pd.Series) -> pd.DataFrame:
+def analyze_batch(texts: pd.Series, htmls: pd.Series | None = None) -> pd.DataFrame:
     """Vectorized where pandas allows; tight python loops only over the
-    pre-split token lists (no per-row regex re-compilation)."""
+    pre-split token lists (no per-row regex re-compilation).
+
+    When `htmls` is given, rows with null text are extracted from their
+    html bytes IN THIS PASS — a separate coalesce(text, extract_udf(html))
+    column would ship every html blob to python unconditionally (Spark
+    evaluates python UDFs inside conditionals for all rows)."""
+    import hashlib
+
+    from titanlib_spark.webtext.extract import extract_text_py
+    from titanlib_spark.webtext.perplexity import _CHAR_IDX, _TABLES
+    from titanlib_spark.webtext.scrub import reference_scrub
+
     idx = texts.index
     out = {
         k.name: np.full(len(texts), None, dtype=object) for k in FEATURES_TYPE.fields
     }
     tvals = texts.to_numpy(dtype=object)
+    hvals = htmls.to_numpy(dtype=object) if htmls is not None else None
     for i, t in enumerate(tvals):
+        if (t is None or not isinstance(t, str)) and hvals is not None:
+            h = hvals[i]
+            if h is not None:
+                t = extract_text_py(bytes(h))
         if t is None or not isinstance(t, str):
             continue
         stripped = t.strip()
@@ -100,24 +123,46 @@ def analyze_batch(texts: pd.Series) -> pd.DataFrame:
         out["dup_line_frac"][i] = _dup_frac(t.split("\n"))
         out["dup_para_frac"][i] = _dup_frac(t.split("\n\n"))
 
+        # char-bigram cross-entropy under the predicted language's table
+        # (perplexity.score_batch semantics: >=2 chars, und -> en table)
+        if len(t) >= 2:
+            table = _TABLES.get(lang, _TABLES["en"])
+            cidx = _CHAR_IDX[
+                np.frombuffer(t.lower().encode("latin-1", "replace"), dtype=np.uint8)
+            ]
+            out["ppl"][i] = float(table[cidx[:-1], cidx[1:]].mean())
+
+        scrubbed = reference_scrub(t)
+        out["scrubbed_text"][i] = scrubbed
+        out["scrub_changed"][i] = scrubbed != t
+        if stripped:  # empty docs are non-hashable (dedup skips them)
+            out["content_hash"][i] = hashlib.md5(t.encode("utf-8")).hexdigest()
+
     df = pd.DataFrame(out, index=idx)
     for c in ("n_chars", "n_words"):
         df[c] = df[c].astype("Int32")
+    df["scrub_changed"] = df["scrub_changed"].astype("boolean")
+    skip = ("pred_lang", "scrubbed_text", "scrub_changed", "content_hash",
+            "n_chars", "n_words")
     for c in df.columns:
-        if c not in ("pred_lang", "n_chars", "n_words"):
+        if c not in skip:
             df[c] = pd.to_numeric(df[c], errors="coerce")
     return df
 
 
 @F.pandas_udf(FEATURES_TYPE)
-def _features_udf(text: pd.Series) -> pd.DataFrame:
-    return analyze_batch(text)
+def _features_udf(text: pd.Series, html: pd.Series) -> pd.DataFrame:
+    return analyze_batch(text, html)
 
 
-def with_fused_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach pred_lang, pred_lang_score and the 8 quality features via the
-    fused UDF (one Arrow pass)."""
-    tmp = df.withColumn("_feat", _features_udf(F.col(text_col)))
+def with_fused_features(
+    df: DataFrame, text_col: str = "text", html_col: str | None = None
+) -> DataFrame:
+    """Attach pred_lang, pred_lang_score, the 8 quality features, ppl,
+    scrubbed_text and content_hash via the fused UDF (one Arrow pass).
+    Pass `html_col` to also fuse null-text extraction into the same pass."""
+    html = F.col(html_col) if html_col else F.lit(None).cast("binary")
+    tmp = df.withColumn("_feat", _features_udf(F.col(text_col), html))
     for f in FEATURES_TYPE.fields:
         tmp = tmp.withColumn(f.name, F.col(f"_feat.{f.name}"))
     return tmp.drop("_feat")

@@ -132,6 +132,7 @@ def perplexity_outlier_check(
         F.col(group_col),
         F.col(ppl_col),
         F.col(flag_col),
+        F.col(flag_col).alias("_flag0"),  # pre-loop flag, to extract the delta
     ).localCheckpoint(eager=True)
     prev_bad = slim.where(F.col(flag_col) != GOOD).count()
 
@@ -158,9 +159,13 @@ def perplexity_outlier_check(
         g_mu, g_iqr, g_n = global_row["_h_mu"], global_row["_h_iqr"], global_row["_h_n"]
         host_stats = stats.where(F.col(group_col).isNotNull())
 
-        # no forced broadcast hint: AQE broadcasts while the host-stats
-        # table is small and falls back to shuffle join when the host
-        # cardinality is web-scale
+        # checkpointed frames carry no size stats, so AQE can't see that
+        # host_stats is tiny — hint broadcast explicitly while the host
+        # cardinality is broadcastable (the common case: #hosts << #docs);
+        # beyond that fall back to a shuffle join
+        n_hosts = host_stats.count()
+        if n_hosts <= 2_000_000:
+            host_stats = F.broadcast(host_stats)
         joined = slim.join(host_stats, on=group_col, how="left")
         use_host = F.col("_h_n").isNotNull() & (F.col("_h_n") >= int(num_min))
         mu = F.when(use_host, F.col("_h_mu")).otherwise(F.lit(float(g_mu)))
@@ -184,13 +189,16 @@ def perplexity_outlier_check(
             break
         prev_bad = new_bad
 
-    # join accumulated verdicts back onto the wide frame (one pass)
-    verdicts = slim.select(
+    # join back only the DELTA — rows the loop newly flagged. Outliers are
+    # rare by construction, so this side broadcasts at any corpus size and
+    # the wide frame never reshuffles (a full verdict join would move the
+    # whole payload again).
+    delta = slim.where(F.col(flag_col) != F.col("_flag0")).select(
         F.col("_pid"), F.col(flag_col).alias("_ppl_flag")
     )
-    out = df.drop(flag_col).join(
-        verdicts, on=F.col(id_col) == F.col("_pid"), how="left"
+    out = df.join(
+        F.broadcast(delta), on=F.col(id_col) == F.col("_pid"), how="left"
     )
     return out.withColumn(
-        flag_col, F.coalesce(F.col("_ppl_flag"), F.lit(GOOD))
+        flag_col, F.coalesce(F.col("_ppl_flag"), F.col(flag_col))
     ).drop("_pid", "_ppl_flag")

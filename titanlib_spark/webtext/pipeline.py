@@ -27,10 +27,8 @@ from pyspark.sql import functions as F
 from titanlib_spark.flags import BAD, GOOD, apply_check_flags, ensure_flags
 from titanlib_spark.webtext import heuristics as H
 from titanlib_spark.webtext.dedup import is_duplicate
-from titanlib_spark.webtext.extract import extract_text
 from titanlib_spark.webtext.features import with_fused_features
-from titanlib_spark.webtext.perplexity import perplexity, perplexity_outlier_check
-from titanlib_spark.webtext.scrub import with_scrubbed_text
+from titanlib_spark.webtext.perplexity import perplexity_outlier_check
 
 
 @dataclass(frozen=True)
@@ -48,6 +46,10 @@ class QualityFilterConfig:
     max_dup_para_frac: float = 0.30
     allowed_langs: tuple[str, ...] = ("en", "de", "fr", "es")
     min_lang_score: float = 0.08
+    # drop raw text/html after the single fused UDF pass: downstream
+    # shuffles (dedup window, checkpoint, output) then carry only the
+    # scrubbed text — at web scale the raw payload never crosses a shuffle
+    drop_raw_text: bool = True
     # perplexity outlier stage (the SCT analogue)
     ppl_threshold: float = 6.0
     ppl_num_min: int = 10
@@ -69,9 +71,12 @@ def host_of(url_col: str = "url"):
 def _rule_columns(cfg: QualityFilterConfig) -> dict[str, F.Column]:
     """Named boolean drop-rules over the feature columns. Null feature
     (empty doc) only triggers the empty_text rule — mirrored from the
-    reference's flag-invalid-up-front convention (src/buddy_check.cpp:64-67)."""
-    t = cfg.text_col
-    empty = H.is_empty_text(t)
+    reference's flag-invalid-up-front convention (src/buddy_check.cpp:64-67).
+
+    `n_words` is 0 exactly for whitespace-only text and null exactly for
+    null text, so emptiness is decidable from the features alone (raw text
+    may already be dropped)."""
+    empty = F.col("n_words").isNull() | (F.col("n_words") == 0)
 
     def rng(c, lo=None, hi=None):
         cond = F.lit(False)
@@ -112,17 +117,17 @@ def run_quality_pipeline(
     cfg = cfg or QualityFilterConfig()
     t = cfg.text_col
 
-    if cfg.extract_missing_text and "html" in df.columns:
-        df = df.withColumn(
-            t, F.coalesce(F.col(t), extract_text("html"))
-        )
-
     df = df.withColumn("host", host_of(cfg.url_col))
-    # fused langid+features pandas UDF: one Arrow pass, ~35x the
-    # throughput of the interpreted HOF expression path (see features.py);
-    # heuristics.py remains the oracle-checked reference semantics
-    df = with_fused_features(df, text_col=t)
-    df = is_duplicate(df, text_col=t)
+    # fused extract+langid+features+perplexity+scrub+hash pandas UDF: ONE
+    # Arrow pass over the raw payload (~35x the interpreted HOF expression
+    # path, and no further text round-trips; see features.py).
+    # heuristics.py remains the oracle-checked reference semantics.
+    html_col = "html" if (cfg.extract_missing_text and "html" in df.columns) else None
+    df = with_fused_features(df, text_col=t, html_col=html_col)
+    if cfg.drop_raw_text:
+        df = df.drop(t, "html")
+    df = is_duplicate(df, hash_col="content_hash")
+    df = df.drop("content_hash")
 
     rules = _rule_columns(cfg)
     reasons = F.array_compact(
@@ -133,15 +138,8 @@ def run_quality_pipeline(
     df = apply_check_flags(df, F.when(F.size("reasons") > 0, BAD).otherwise(GOOD))
 
     if cfg.run_ppl_stage:
-        df = df.withColumn(
-            "ppl",
-            F.when(F.col("flags") == GOOD, perplexity(t, "pred_lang")),
-        )
-        # materialize the UDF chain once before the iterative stage; html
-        # (the dominant payload) has served its purpose after extraction
-        # and is not carried into the iterative/output stages
-        if "html" in df.columns:
-            df = df.drop("html")
+        # ppl was computed in the fused UDF pass; materialize the chain
+        # once before the iterative stage
         df = df.localCheckpoint(eager=True)
         df = perplexity_outlier_check(
             df,
@@ -159,5 +157,5 @@ def run_quality_pipeline(
             ).otherwise(F.col("reasons")),
         )
 
-    df = with_scrubbed_text(df, text_col=t)
+    # scrubbed_text already attached by the fused UDF pass
     return df.withColumn("keep", F.col("flags") == GOOD)
