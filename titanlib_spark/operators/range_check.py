@@ -96,9 +96,10 @@ def range_check_climatology(
     month = datetime.datetime.utcfromtimestamp(unixtime).month
     t = climatology_mean(F.col(lat_col).cast("double"), F.lit(month))
     v = F.col(value_col)
-    bad = (
-        is_invalid_value(v)
-        | (v < (t + _as_col(neg)))
-        | (v > (t + _as_col(pos)))
+    # NB: Spark orders NaN ABOVE every double (unlike IEEE, where any
+    # comparison with NaN is false), so the reference's NaN-climatology ->
+    # never-flag behavior needs an explicit isnan guard
+    bad = is_invalid_value(v) | (
+        ~F.isnan(t) & ((v < (t + _as_col(neg))) | (v > (t + _as_col(pos))))
     )
     return apply_check_flags(df, F.when(bad, BAD).otherwise(GOOD), flag_col)
