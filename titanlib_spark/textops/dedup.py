@@ -59,21 +59,30 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_size: int = 5,
     out_col: str = "minhash",
+    id_col: str | None = None,
 ) -> DataFrame:
-    """k-permutation MinHash over char shingles.
+    """k-permutation MinHash over char shingles:
+    h_i(s) = xxhash64(str(i), s); signature[i] = min over shingles.
+    Empty/too-short docs get a null signature.
 
-    h_i(s) = xxhash64(i || s); signature[i] = min over shingles. Expressed
-    as nested higher-order functions; empty docs get a null signature."""
+    Physical plan: explode distinct shingles -> ONE groupBy with k
+    codegen'd min-aggregates -> assemble the signature array. The obvious
+    nested-transform expression (k lambdas over the shingle array) runs in
+    Spark's interpreted HOF path at ~100x the cost — same lesson as
+    simhash_table. Requires a row key; pass `id_col` or a unique id column
+    named `doc_id` must exist."""
+    id_col = id_col or "doc_id"
     sh = char_shingles(text_col, shingle_size)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda s: F.xxhash64(i.cast("string"), s))
-        ),
+    exploded = df.select(F.col(id_col), F.explode(sh).alias("_s"))
+    votes = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(str(i)), F.col("_s"))).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
     )
-    return df.withColumn(
-        out_col, F.when(F.size(sh) > 0, sig)
-    )
+    sig = F.array(*[F.col(f"_m{i}") for i in range(num_hashes)])
+    sigs = votes.select(F.col(id_col), sig.alias(out_col))
+    return df.join(sigs, on=id_col, how="left")
 
 
 def minhash_lsh_candidates(
@@ -148,7 +157,9 @@ def minhash_lsh_dedup(
     member pairs with an earlier one through shared buckets or survives to
     the next run — exact connected components are overkill for filter-grade
     dedup and would add an iterative shuffle)."""
-    with_sig = minhash_signatures(df, text_col, num_hashes, shingle_size)
+    with_sig = minhash_signatures(
+        df, text_col, num_hashes, shingle_size, id_col=id_col
+    )
     cands = minhash_lsh_candidates(with_sig, id_col, "minhash", bands)
     sigs = with_sig.select(F.col(id_col), F.col("minhash"))
     pairs = (
