@@ -80,6 +80,7 @@ def _sct_kernel(
     lons = pdf["_slon"].to_numpy(dtype=float)
     elevs = pdf["_selev"].to_numpy(dtype=float)
     values = pdf["_svalue"].to_numpy(dtype=float)
+    to_test = pdf["_stest"].to_numpy(dtype=bool)
     core = pdf["_score"].to_numpy(dtype=bool)
     x = pdf["_sx"].to_numpy(dtype=float)
     y = pdf["_sy"].to_numpy(dtype=float)
@@ -150,7 +151,11 @@ def _sct_kernel(
                     continue
                 prev = pog_out[idx]
                 pog_out[idx] = pog[i] if np.isnan(prev) else max(prev, pog[i])
-                if (cvres[i] < 0 and pog[i] > pos) or (cvres[i] >= 0 and pog[i] > neg):
+                # obs_to_check gates flagging only — masked rows still
+                # contribute to the OI (reference tests/sct_test.py:91-100)
+                if to_test[idx] and (
+                    (cvres[i] < 0 and pog[i] > pos) or (cvres[i] >= 0 and pog[i] > neg)
+                ):
                     flags[idx] = BAD
                 checked[idx] = True
 
@@ -184,8 +189,12 @@ def sct(
     elev_col: str = "elev",
     value_col: str = "value",
     flag_col: str = "flags",
+    obs_to_check: str | None = None,
 ) -> DataFrame:
-    """Returns df with `flags` updated and a `prob_gross_error` column."""
+    """Returns df with `flags` updated and a `prob_gross_error` column.
+    `obs_to_check` optionally names a 0/1 column gating which rows may be
+    FLAGGED (reference tests/sct_test.py:91-100 semantics: masked rows
+    still contribute as neighbors)."""
     df = ensure_flags(df, flag_col)
     df = apply_check_flags(
         df, F.when(is_invalid_value(F.col(value_col)), BAD).otherwise(GOOD), flag_col
@@ -202,6 +211,11 @@ def sct(
             F.col(lon_col).cast("double").alias("_slon"),
             F.col(elev_col).cast("double").alias("_selev"),
             F.col(value_col).cast("double").alias("_svalue"),
+            (
+                F.col(obs_to_check).cast("boolean")
+                if obs_to_check
+                else F.lit(True)
+            ).alias("_stest"),
             F.col("x").alias("_sx"),
             F.col("y").alias("_sy"),
             F.col("z").alias("_sz"),
@@ -226,6 +240,7 @@ def sct(
                 "_slon",
                 "_selev",
                 "_svalue",
+                "_stest",
                 "_sx",
                 "_sy",
                 "_sz",
