@@ -394,6 +394,28 @@ def q_sct_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("c_custkey"), F.col("flags").alias("qc_flag"))
 
 
+def q_knn_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN per customer within 5 km: avg neighbor value (the kNN join,
+    reference src/kdtree.cpp:105-126). Ranking uses metre-rounded distance
+    so cross-engine 1-ulp trig noise can't flip tie orderings."""
+    from titanlib_spark.functions.geo import neighbor_pairs
+
+    geo = _customer_geo(spark, sf_dir)
+    pairs = neighbor_pairs(geo, 5000.0, payload_cols=("value",))
+    w = Window.partitionBy("id").orderBy(
+        F.round(F.col("dist"), 0).asc(), F.col("n_id").asc()
+    )
+    top = pairs.withColumn("_rnk", F.row_number().over(w)).where(F.col("_rnk") <= 5)
+    return (
+        top.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.round(F.avg("n_value"), 6).alias("avg_neighbor_value"),
+        )
+        .select(F.col("id").alias("c_custkey"), "n_neighbors", "avg_neighbor_value")
+    )
+
+
 def q_interpolate_to_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     from titanlib_spark.functions.geo import interpolate_to_points
 
@@ -632,6 +654,26 @@ SELECT c_nationkey,
        round(quantile_cont(value, 0.5), 6) AS bg_median,
        count(*) AS n_obs
 FROM geo GROUP BY c_nationkey
+"""
+
+    knn_pairs_sql = _pairs_sql(5000.0)
+    sql["knn_avg"] = f"""
+WITH {_GEO_SQL}, {knn_pairs_sql},
+ranked AS (
+  SELECT p.id, p.n_value,
+         row_number() OVER (
+           PARTITION BY p.id
+           ORDER BY round(sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+                               + (a.z-b.z)*(a.z-b.z)), 0) ASC, p.nid ASC
+         ) AS rnk
+  FROM pairs p
+  JOIN pts a ON a.id = p.id
+  JOIN pts b ON b.id = p.nid
+)
+SELECT id AS c_custkey, count(*) AS n_neighbors,
+       round(avg(n_value), 6) AS avg_neighbor_value
+FROM ranked WHERE rnk <= 5
+GROUP BY id
 """
 
     sql["interpolate_to_points"] = f"""
@@ -933,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sct_dual": q_sct_dual,
         "sct_resistant": q_sct_resistant,
         "interpolate_to_points": q_interpolate_to_points,
+        "knn_avg": q_knn_avg,
     }
 
 

@@ -297,10 +297,17 @@ def word_ngrams(text: str | Column, n: int = 3) -> Column:
     t = F.col(text) if isinstance(text, str) else text
     toks = F.split(F.lower(F.trim(t)), r"\s+")
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    # element_at accesses, not slice(): slice copies an n-element array per
+    # gram in the interpreted HOF path (~3x the cost)
     return F.when(
         F.size(toks) >= n,
         F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(n)]
+                ),
+            )
         ),
     ).otherwise(F.array().cast("array<string>"))
 
@@ -317,11 +324,13 @@ def ngram_jaccard_pairs(
     explode -> self-join on the n-gram -> pair intersection counts ->
     |A ∪ B| = |A| + |B| - |A ∩ B|. The join key is the n-gram itself —
     common n-grams fan out, so this exact variant is the *verifier*; at
-    scale run it behind minhash_lsh_candidates."""
-    grams = df.select(
-        F.col(id_col), word_ngrams(text_col, n).alias("_g")
-    ).withColumn("_sz", F.size("_g"))
-    exploded = grams.select(id_col, "_sz", F.explode("_g").alias("gram"))
+    scale run it behind minhash_lsh_candidates.
+
+    Set sizes are counted AFTER the explode (window over the id) so the
+    gram-generation expression is evaluated exactly once per row."""
+    exploded = df.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+    ).withColumn("_sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
     a, b = exploded.alias("a"), exploded.alias("b")
     inter = (
         a.join(
