@@ -336,6 +336,16 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.row_number().over(w).alias("rank"))
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from titanlib_spark.textops import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "emb_d", F.col("embedding").cast("array<double>")
+    )
+    pairs = embedding_near_dup_pairs(e, threshold=0.4, vec_col="emb_d")
+    return pairs.select("id_a", "id_b")
+
+
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     kept = minhash_lsh_dedup(
@@ -831,6 +841,24 @@ SELECT vec_id, rank FROM (
 ) WHERE rank <= 10
 """
 
+    # identical left-fold dot products on both sides (list_reduce == the
+    # Spark aggregate fold), so threshold membership is bit-stable
+    def _dot(x, y):
+        return (
+            f"list_reduce(list_transform(range(1, 65), i -> {x}[i] * {y}[i]),"
+            " (acc, v) -> acc + v)"
+        )
+
+    ea, eb = "(a.embedding::DOUBLE[])", "(b.embedding::DOUBLE[])"
+    cos_ab = (
+        f"{_dot(ea, eb)} / (sqrt({_dot(ea, ea)}) * sqrt({_dot(eb, eb)}))"
+    )
+    sql["embedding_near_dups"] = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {cos_ab} >= 0.4
+"""
+
     # --- the flagship webtext pipeline over `documents` -------------------
     lang_scores = []
     for lg in LANGS:
@@ -968,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "embedding_near_dups": q_embedding_near_dups,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "lag_filter": q_lag_filter,

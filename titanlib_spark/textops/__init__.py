@@ -20,6 +20,7 @@ from titanlib_spark.textops.dedup import (
 from titanlib_spark.textops.similarity import (
     with_normalized_embedding,
     cosine_topk,
+    embedding_near_dup_pairs,
     lsh_bucketed_topk,
 )
 from titanlib_spark.textops.stats import (
@@ -39,6 +40,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "with_normalized_embedding",
     "cosine_topk",
+    "embedding_near_dup_pairs",
     "lsh_bucketed_topk",
     "token_count",
     "bpe_ish_token_count",

@@ -90,6 +90,44 @@ def hyperplane_signature(
     return bucket
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 0,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """All pairs (a < b) with cosine similarity >= threshold — the
+    embedding-space near-duplicate detector.
+
+    n_planes = 0 is the exact O(n^2) verifier (self-join); n_planes > 0
+    buckets by hyperplane signature first and only compares within a
+    bucket (recall trades against the fan-out: near-identical vectors
+    almost always share the full signature). Scale path: bucket join is
+    an equi-join on the signature — one shuffle, no cross product."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    cond = F.col("id_a") < F.col("id_b")
+    if n_planes > 0:
+        if dim is None:
+            raise ValueError("dim required when n_planes > 0")
+        siga = hyperplane_signature("_va", dim, n_planes, seed)
+        sigb = hyperplane_signature("_vb", dim, n_planes, seed)
+        a = a.withColumn("_sig", siga)
+        b = b.withColumn("_sig", sigb)
+        joined = a.join(b, on="_sig").where(cond).drop("_sig")
+    else:
+        joined = a.join(b, cond)
+    sim = cosine(F.col("_va"), F.col("_vb"))
+    return (
+        joined.withColumn("cosine_sim", sim)
+        .where(F.col("cosine_sim") >= float(threshold))
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     query_vec,
