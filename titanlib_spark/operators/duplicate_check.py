@@ -153,9 +153,10 @@ def duplicate_check_spatial(
             pdf.loc[pdf["_kind"] == 1, "_id"], pdf.loc[pdf["_kind"] == 1, "_nid"]
         ):
             edges.setdefault(s, []).append(d)
-        elev = (
-            dict(zip(ids["_id"], ids["_elev"])) if "_elev" in pdf.columns else None
-        )
+        # the _elev column is always present (null-filled when the check
+        # runs without vertical_range) — elevation semantics apply only
+        # when a vertical range was requested
+        elev = dict(zip(ids["_id"], ids["_elev"])) if vr is not None else None
         checked: set = set()
         if elev is not None:
             for r, e in elev.items():
