@@ -107,6 +107,71 @@ def test_accept_isolated_false_flags_11_12(spark):
     assert flags2[3] == GOOD
 
 
+def _dataset_test_df(spark):
+    """reference tests/dataset_test.py:73-105 fixture: 10 stations on a
+    line, elevs 0..90, values [0]*8 + [0.1, 1000], per-row bands."""
+    n = 10
+    lons = np.linspace(60, 60.01, n)
+    elevs = np.linspace(0, 90, n)
+    values = [0.0] * 8 + [0.1, 1000.0]
+    rows = [
+        (
+            i, 60.0, float(lons[i]), float(elevs[i]), values[i],
+            values[i] - 20.0, values[i] + 20.0,  # mina, maxa
+            values[i] - 1.0, values[i] + 1.0,    # minv, maxv
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "id long, lat double, lon double, elev double, value double, "
+        "mina double, maxa double, minv double, maxv double",
+    )
+
+
+DATASET_TEST_KW = dict(
+    background_elab_type="vertical_profile",
+    num_min_outer=3,
+    num_max_outer=10,
+    inner_radius=50000.0,
+    outer_radius=50000.0,
+    num_iterations=2,
+    num_min_prof=0,
+    min_elev_diff=100.0,
+    min_horizontal_scale=10000.0,
+    max_horizontal_scale=100000.0,
+    kth_closest=2,
+    vertical_scale=200.0,
+    value_mina="mina",
+    value_maxa="maxa",
+    value_minv="minv",
+    value_maxv="maxv",
+    eps2=0.5,
+    tpos=16.0,
+    tneg=16.0,
+    basic=False,
+)
+
+
+def test_reference_golden_dataset_test(spark):
+    """reference tests/dataset_test.py:73-132: expected [0]*9 + [1]."""
+    out = sct_resistant(_dataset_test_df(spark), **DATASET_TEST_KW)
+    flags = {r.id: r.flags for r in out.collect()}
+    assert [flags[i] for i in range(10)] == [0] * 9 + [1]
+
+
+def test_reference_golden_accept_isolated_false(spark):
+    """reference tests/dataset_test.py:134-195: expected
+    [12, 12, 0, 0, 0, 0, 0, 0, 0, 1] — rows 0/1 are condemned in the
+    chi_stat-empty mass-flag, then found outer-isolated in the phase-3
+    bad-row re-check because everything around them is bad too."""
+    out = sct_resistant(
+        _dataset_test_df(spark), accept_isolated=False, **DATASET_TEST_KW
+    )
+    flags = {r.id: r.flags for r in out.collect()}
+    assert [flags[i] for i in range(10)] == [12, 12, 0, 0, 0, 0, 0, 0, 0, 1]
+
+
 def test_worst_only_iterative(spark):
     """Two gross errors in one neighborhood: one flagged per pass, both
     gone at the fixpoint (src/sct_resistant.cpp:1033-1058 semantics)."""

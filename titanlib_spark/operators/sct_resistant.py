@@ -1,41 +1,59 @@
 """SCT-resistant — outlier-resistant spatial consistency test.
 
-Distributed recast of reference src/sct_resistant.cpp:26-1062. The
-reference's architecture maps as:
+Distributed recast of reference src/sct_resistant.cpp:26-1062, faithful to
+its three-phase state machine:
 
-* hierarchical index sets global -> outer -> inner -> test
-  (src/util.cpp:232-295): Spark grid cells (side = outer_radius) with a
-  27-cell halo give every core point its full outer circle inside one
-  ``applyInPandas`` group; inner/test membership is decided in-kernel;
-* 5 background modes (enum BackgroundType, include/titanlib.h:49-55):
-  mean / median of the outer circle, vertical-profile fit,
-  Theil-Sen fit, external column — the numpy kernels from
-  titanlib_spark.operators.background;
-* adaptive horizontal decorrelation length: mean over the outer circle of
-  each row's distance to its kth_closest neighbor, clamped to
-  [min_horizontal_scale, max_horizontal_scale]
-  (src/sct_resistant.cpp:882-912);
-* OI analysis and leave-one-out cross-validation analysis; score
-  chi = sqrt((yo-ya)(yo-yav)) (src/sct_resistant.cpp:971);
-* ``basic`` mode tests chi directly; advanced mode normalizes
-  z = (chi - median) / (IQR + IQR/sqrt(n)) over admissible rows
-  (src/sct_resistant.cpp:992-1011);
-* valid value band short-circuits candidacy (an observation whose value
-  AND background both look plausible is vouched for,
-  src/sct_resistant.cpp:353-372); admissible band gates which rows feed
-  the robust statistics;
-* flags only the single WORST offender per centroid per pass
-  (src/sct_resistant.cpp:1033-1058) — the iterate-until-stable driver
-  loop then re-tests everything against the cleaned network;
-* flag vocabulary: 0 good, 1 bad, 11/12 isolated (accept_isolated=false),
-  100 matrix-inversion failure (src/sct_resistant.cpp:120-125,380-384).
+* **Phase 1** (src/sct_resistant.cpp:206-397): iterated sweep over
+  centroids that still lack a verdict. Per centroid: outer circle =
+  nearest <= num_max_outer rows within outer_radius (truncated by distance
+  BEFORE dropping bad rows, mirroring the kdtree-then-set_indices order,
+  src/sct_resistant.cpp:242-268 + src/util.cpp:232-295), inner circle,
+  test set = inner rows without a verdict. ``small_innov`` shortcut
+  (background within the valid band for every test row -> all good,
+  :355-372), else sct_core. Good verdicts are only allowed after the first
+  iteration (set_flag0, :374). Stop when an iteration throws nothing out;
+  if that was the FIRST iteration, all remaining rows are set good
+  (set_all_good, :398-414).
+* **Phase 2** "QC missing" (:416-537): each row still without a verdict is
+  tested alone (test_just_this semantics: the centroid is excluded from
+  the neighbour guess and re-appended, src/util.cpp:283-295). Deficient
+  circles get flag 12 (p_outer < num_min_outer) or 11 (p_inner < 2);
+  with accept_isolated=true those become 0 (src/sct_resistant.cpp:168-177).
+* **Phase 3** "final check on the bad" (:542-712): every bad row whose
+  value is plausible is re-tested alone against the non-bad network — it
+  can be restored to good (small_innov / sct_core), re-condemned, or
+  found isolated (11/12).
 
-Documented deviations from the reference (same as operators/sct.py): the
-centroid sweep is per-cell rather than global, so which centroid settles a
-row first can differ — the reference is explicitly order-tolerant here —
-and the phase-2/3 re-sweeps (src/sct_resistant.cpp:416-712) are subsumed
-by the iterate-until-stable loop over cells (every still-unflagged row is
-re-tested each round against the cleaned network).
+sct_core parity (src/sct_resistant.cpp:760-1062):
+
+* Dh(i) = k-th closest pairwise distance INCLUDING self as the first
+  (find_k_closest, src/util.cpp:297-314); Dh_mean clamped to
+  [min_horizontal_scale, max_horizontal_scale];
+* S = exp(-.5 (dh/Dh_mean)^2 - .5 (dz/Dz)^2) + diag(eps2), per-row eps2;
+* analysis ya and LOO cv-analysis yav, both clamped to the plausible range
+  [value_minp, value_maxp] = [min(values_mina), max(values_maxa)]
+  (src/sct_resistant.cpp:191-196, :966-971);
+* chi = sqrt((yo-ya)(yo-yav)) over the INNER circle; robust stats are fed
+  only by inner rows whose **yav** lies in the admissible band [mina,maxa]
+  (:975-980);
+* chi_stat empty -> ALL test rows flagged bad (:984-992);
+* sigma = max(IQR(chi_stat), IQR(chi_alt_stat)) with
+  chi_alt = sqrt(eps2/(1+eps2)) * (maxv - minv) (:996-1001); sigma == 0 ->
+  no verdicts; z = (chi - mu) / (sigma + sigma/sqrt(n));
+* worst offender = max z among test rows whose yav is OUTSIDE the valid
+  band [minv, maxv]; threshold tpos if yo >= yb else tneg; z > thr ->
+  that single row bad (score = z), else set_flag0 -> all test rows good
+  (:1013-1058).
+
+Distribution deviation (documented): the sequential centroid sweep is
+per-grid-cell (side = outer_radius, 27-cell ECEF halo) instead of global,
+so live flag propagation never crosses cells within one pass — the
+iterate-until-stable driver loop converges the global state. The
+reference is explicitly order-tolerant here (its phase 3 exists to undo
+order artifacts).
+
+Flag vocabulary: 0 good, 1 bad, 11/12 isolated (accept_isolated=false),
+100 matrix-inversion failure (include/titanlib.h:133, :120-125).
 """
 
 from __future__ import annotations
@@ -63,9 +81,12 @@ from titanlib_spark.operators.background import (
 from titanlib_spark.operators.range_check import is_invalid_value
 from titanlib_spark.operators.sct import _geodetic_dist_matrix
 
+NA_STATE = -999  # reference: flags start at -999 = not checked
+
 
 def _background_box(mode, elevs, values, ext, num_min_prof, min_elev_diff,
                     value_minp, value_maxp):
+    """reference src/background.cpp:28-57 (incl. plausible-range clamp)."""
     if mode == "external":
         vp = ext.astype(float)
     elif mode == "mean_outer_circle":
@@ -78,176 +99,228 @@ def _background_box(mode, elevs, values, ext, num_min_prof, min_elev_diff,
         vp = theil_sen_np(elevs, values, num_min_prof, min_elev_diff)
     else:
         raise ValueError(f"unknown background mode: {mode}")
-    if value_minp is not None:
+    if np.isfinite(value_minp):
         vp = np.maximum(vp, value_minp)
-    if value_maxp is not None:
+    if np.isfinite(value_maxp):
         vp = np.minimum(vp, value_maxp)
     return vp
 
 
-def _sct_resistant_kernel(
-    pdf: pd.DataFrame,
-    *,
-    background_elab_type: str,
-    num_min_outer: int,
-    num_max_outer: int,
-    inner_radius: float,
-    outer_radius: float,
-    num_min_prof: int,
-    min_elev_diff: float,
-    min_horizontal_scale: float,
-    max_horizontal_scale: float,
-    kth_closest: int,
-    vertical_scale: float,
-    value_mina,
-    value_maxa,
-    value_minv,
-    value_maxv,
-    eps2: float,
-    tpos: float,
-    tneg: float,
-    basic: bool,
-    accept_isolated: bool,
-) -> pd.DataFrame:
+def _sct_core_np(
+    lats, lons, elevs, yo, yb, eps2, tpos, tneg, mina, maxa, minv, maxv,
+    inner_mask, test_mask, *, minp, maxp, dh_min, dh_max, kth, dz, basic,
+    set_flag0,
+):
+    """One OI pass over an outer circle (reference sct_core,
+    src/sct_resistant.cpp:760-1062). Returns (ok, updates) where updates
+    is a list of (outer_local_idx, new_state, score_or_nan)."""
+    p = yo.size
+    disth = _geodetic_dist_matrix(lats, lons)
+    distz = np.abs(elevs[:, None] - elevs[None, :])
+
+    # Dh: k-th closest including self-distance 0 (find_k_closest semantics)
+    srt = np.sort(disth, axis=1)
+    k_idx = p - 1 if kth > p else max(kth - 1, 0)
+    dh_mean = float(np.mean(srt[:, k_idx]))
+    dh_mean = min(max(dh_mean, float(dh_min)), float(dh_max))
+
+    S = np.exp(-0.5 * (disth / dh_mean) ** 2 - 0.5 * (distz / dz) ** 2)
+    S[np.diag_indices(p)] += eps2
+    try:
+        Sinv = np.linalg.inv(S)
+    except np.linalg.LinAlgError:
+        return False, []
+    S[np.diag_indices(p)] -= eps2
+
+    d = yo - yb
+    Sinv_d = Sinv @ d
+
+    inner = np.where(inner_mask)[0]
+    ya = yb[inner] + S[inner] @ Sinv_d
+    yav = yo[inner] - Sinv_d[inner] / np.diag(Sinv)[inner]
+    np.clip(ya, minp, maxp, out=ya)
+    np.clip(yav, minp, maxp, out=yav)
+    chi = np.sqrt(np.maximum((yo[inner] - ya) * (yo[inner] - yav), 0.0))
+    chi_alt = np.sqrt(eps2[inner] / (1.0 + eps2[inner])) * np.maximum(
+        maxv[inner] - minv[inner], 0.0
+    )
+
+    adm = (yav >= mina[inner]) & (yav <= maxa[inner])
+    test_local = np.where(test_mask[inner])[0]  # positions within `inner`
+    if not adm.any():
+        # yav all inadmissible: every test row is bad (:984-992)
+        return True, [(inner[m], BAD, np.nan) for m in test_local]
+
+    if basic:
+        z = chi
+    else:
+        chi_stat = chi[adm]
+        mu = exact_quantile(0.5, chi_stat)
+        sigma = exact_quantile(0.75, chi_stat) - exact_quantile(0.25, chi_stat)
+        sigma_alt = exact_quantile(0.75, chi_alt[adm]) - exact_quantile(
+            0.25, chi_alt[adm]
+        )
+        sigma = max(sigma, sigma_alt)
+        if sigma == 0:
+            return True, []
+        sigma_mu = sigma / np.sqrt(chi_stat.size)
+        z = (chi - mu) / (sigma + sigma_mu)
+
+    zmx, mmx = -10000.0, -1
+    for m in test_local:
+        gi = inner[m]
+        if z[m] > zmx and (yav[m] < minv[gi] or yav[m] > maxv[gi]):
+            zmx, mmx = float(z[m]), m
+    if mmx >= 0:
+        gi = inner[mmx]
+        thr = tpos[gi] if (yo[gi] - yb[gi]) >= 0 else tneg[gi]
+        if zmx > thr:
+            return True, [(gi, BAD, zmx)]
+    if set_flag0:
+        return True, [(inner[m], GOOD, np.nan) for m in test_local]
+    return True, []
+
+
+def _sct_resistant_kernel(pdf: pd.DataFrame, *, phase: int, set_flag0: bool,
+                          cfg: dict) -> pd.DataFrame:
     ids = pdf["_sid"].to_numpy()
     lats = pdf["_slat"].to_numpy(dtype=float)
     lons = pdf["_slon"].to_numpy(dtype=float)
     elevs = pdf["_selev"].to_numpy(dtype=float)
     values = pdf["_svalue"].to_numpy(dtype=float)
-    to_test = pdf["_stest"].to_numpy(dtype=bool)
+    obs = pdf["_sobs"].to_numpy(dtype=bool)
     core = pdf["_score"].to_numpy(dtype=bool)
+    state = pdf["_sstate"].to_numpy(dtype=np.int32).copy()
+    orig_state = state.copy()
     ext = pdf["_sbg"].to_numpy(dtype=float)
     pts = np.stack(
-        [pdf["_sx"].to_numpy(float), pdf["_sy"].to_numpy(float), pdf["_sz"].to_numpy(float)],
+        [pdf["_sx"].to_numpy(float), pdf["_sy"].to_numpy(float),
+         pdf["_sz"].to_numpy(float)],
         axis=1,
     )
     n = len(ids)
-    flags = np.full(n, -1, dtype=np.int32)  # -1 = no verdict from this cell
     scores = np.full(n, np.nan)
-    settled = np.zeros(n, dtype=bool)
+    score_set = np.zeros(n, dtype=bool)
+
+    def band(key, default):
+        spec = cfg[key]
+        if spec[0] == "col":
+            return pdf[spec[1]].to_numpy(dtype=float)
+        v = default if spec[1] is None else float(spec[1])
+        return np.full(n, v)
+
+    mina = band("mina", -np.inf)
+    maxa = band("maxa", np.inf)
+    minv = band("minv", np.inf)    # None => empty valid band (never vouches)
+    maxv = band("maxv", -np.inf)
+    eps2 = band("eps2", 0.5)
+    tpos = band("tpos", 3.0)
+    tneg = band("tneg", 3.0)
+
+    minp, maxp = cfg["minp"], cfg["maxp"]
+    num_min_outer = cfg["num_min_outer"]
+    num_max_outer = cfg["num_max_outer"]
+    inner_radius = cfg["inner_radius"]
+    outer_radius = cfg["outer_radius"]
+    flag_iso_inner = cfg["flag_iso_inner"]
+    flag_iso_outer = cfg["flag_iso_outer"]
+
+    core_kw = dict(
+        minp=minp, maxp=maxp,
+        dh_min=cfg["min_horizontal_scale"], dh_max=cfg["max_horizontal_scale"],
+        kth=cfg["kth_closest"], dz=cfg["vertical_scale"], basic=cfg["basic"],
+    )
 
     order = np.argsort(ids, kind="stable")
-    alive = np.ones(n, dtype=bool)  # rows flagged earlier in THIS sweep drop
-    for curr in order:              # out of later neighborhoods — the
-        # reference mutates flags live during its sequential sweep, so a
-        # found gross error never pollutes subsequent centroids' OI
-        if not core[curr] or not to_test[curr] or settled[curr] or flags[curr] > 0:
+    for curr in order:
+        if not core[curr] or not obs[curr]:
             continue
-        d_chord = np.sqrt(((pts - pts[curr]) ** 2).sum(axis=1))
-        sel = np.where((d_chord <= outer_radius) & alive)[0]
-        if sel.size < num_min_outer:
-            # isolated: 11 inside the inner radius, 12 only-outer
-            if not accept_isolated:
-                flags[curr] = (
-                    ISOLATED_INNER if d_chord[curr] <= inner_radius else ISOLATED_OUTER
-                )
-                alive[curr] = False
-            settled[curr] = True
-            continue
-        if sel.size > num_max_outer:
-            k = np.lexsort((ids[sel], d_chord[sel]))[:num_max_outer]
-            sel = sel[k]
+        if phase in (1, 2):
+            if state[curr] != NA_STATE:
+                continue
+        else:  # phase 3: re-check plausible bad rows (:563-566)
+            if state[curr] != BAD or values[curr] < minp or values[curr] > maxp:
+                continue
 
-        e_box, v_box = elevs[sel], values[sel]
+        d_chord = np.sqrt(((pts - pts[curr]) ** 2).sum(axis=1))
+        guess = np.where(d_chord <= outer_radius)[0]  # all states: the kdtree
+        if guess.size > num_max_outer:                # truncates BEFORE the
+            k = np.lexsort((ids[guess], d_chord[guess]))[:num_max_outer]
+            guess = guess[k]                          # flag filter (:242-268)
+        if phase == 1:
+            sel = guess[state[guess] != BAD]
+        else:
+            sel = guess[(state[guess] != BAD) & (guess != curr)]
+            sel = np.append(sel, curr)                # test_just_this append
+
+        if sel.size < num_min_outer:
+            state[curr] = flag_iso_outer
+            continue
+        inner_mask = d_chord[sel] <= inner_radius     # curr: d=0 -> inner
+        if int(inner_mask.sum()) < 2:
+            state[curr] = flag_iso_inner
+            continue
+
         try:
             vp = _background_box(
-                background_elab_type, e_box, v_box, ext[sel],
-                num_min_prof, min_elev_diff, None, None,
+                cfg["background_elab_type"], elevs[sel], values[sel], ext[sel],
+                cfg["num_min_prof"], cfg["min_elev_diff"], minp, maxp,
             )
         except Exception:
-            settled[curr] = True
             continue
 
-        disth = _geodetic_dist_matrix(lats[sel], lons[sel])
-        distz = np.abs(e_box[:, None] - e_box[None, :])
-        s_box = sel.size
-        # adaptive Dh: mean of per-row kth-closest distances, clamped
-        kth = min(max(int(kth_closest), 1), s_box - 1)
-        sorted_rows = np.sort(disth, axis=1)
-        dh_mean = float(np.mean(sorted_rows[:, kth]))
-        dh_mean = min(max(dh_mean, float(min_horizontal_scale)), float(max_horizontal_scale))
-
-        S = np.exp(-0.5 * (disth / dh_mean) ** 2 - 0.5 * (distz / vertical_scale) ** 2)
-        S[np.diag_indices(s_box)] += eps2
-        d = v_box - vp
-        try:
-            Sinv = np.linalg.inv(S)
-        except np.linalg.LinAlgError:
-            flags[curr] = FAILED_INVERSION  # src/sct_resistant.cpp:380-384
-            settled[curr] = True
-            alive[curr] = False
+        if phase == 1:
+            st = state[sel]
+            test_mask = inner_mask & obs[sel] & (st != GOOD) & (st != BAD)
+        else:
+            test_mask = sel == curr
+        if not test_mask.any():
             continue
-        S[np.diag_indices(s_box)] -= eps2
 
-        Sinv_d = Sinv @ d
-        ya = vp + S @ Sinv_d                    # analysis
-        yav = v_box - (1.0 / np.diag(Sinv)) * Sinv_d  # cv-analysis
-        chi = np.sqrt(np.maximum((v_box - ya) * (v_box - yav), 0.0))
+        tsel = np.where(test_mask)[0]
+        if phase == 1:  # non-strict band (:355-362)
+            small = bool(
+                np.all((vp[tsel] >= minv[sel][tsel]) & (vp[tsel] <= maxv[sel][tsel]))
+            )
+        else:           # strict band (:515-521)
+            j = tsel[0]
+            small = bool((vp[j] > minv[sel][j]) & (vp[j] < maxv[sel][j]))
+        if small:
+            state[sel[tsel]] = GOOD
+            continue
 
-        # admissible band selects rows feeding the robust statistics
-        adm = np.ones(s_box, dtype=bool)
-        if value_mina is not None:
-            adm &= vp >= value_mina
-        if value_maxa is not None:
-            adm &= vp <= value_maxa
-        if basic:
-            zscore = chi.copy()
-        else:
-            chi_adm = chi[adm]
-            if chi_adm.size == 0:
-                settled[curr] = True
-                continue
-            mu = exact_quantile(0.5, chi_adm)
-            iqr = exact_quantile(0.75, chi_adm) - exact_quantile(0.25, chi_adm)
-            denom = iqr + iqr / np.sqrt(chi_adm.size)
-            if denom <= 0:
-                settled[curr] = True
-                continue
-            zscore = (chi - mu) / denom
+        ok, updates = _sct_core_np(
+            lats[sel], lons[sel], elevs[sel], values[sel], vp,
+            eps2[sel], tpos[sel], tneg[sel], mina[sel], maxa[sel],
+            minv[sel], maxv[sel], inner_mask, test_mask,
+            set_flag0=set_flag0, **core_kw,
+        )
+        if not ok:
+            state[curr] = FAILED_INVERSION  # :380-384
+            continue
+        for local_i, new_state, sc in updates:
+            gi = sel[local_i]
+            state[gi] = new_state
+            if not np.isnan(sc):
+                scores[gi] = sc
+                score_set[gi] = True
 
-        dists = d_chord[sel]
-        in_inner = dists <= inner_radius
-        cand = in_inner & core[sel] & to_test[sel] & ~settled[sel]
-        # valid band vouches (src/sct_resistant.cpp:353-372)
-        if value_minv is not None and value_maxv is not None:
-            vouched = (v_box >= value_minv) & (v_box <= value_maxv) & (
-                vp >= value_minv
-            ) & (vp <= value_maxv)
-            cand &= ~vouched
-        thr = np.where(v_box >= vp, tpos, tneg)
-        offending = cand & (zscore > thr)
-
-        for i in range(s_box):
-            idx = sel[i]
-            if in_inner[i] and core[idx]:
-                prev = scores[idx]
-                scores[idx] = zscore[i] if np.isnan(prev) else max(prev, zscore[i])
-
-        if offending.any():
-            # single worst offender per centroid pass (:1033-1058)
-            worst_local = int(np.argmax(np.where(offending, zscore, -np.inf)))
-            flags[sel[worst_local]] = BAD
-            settled[sel[worst_local]] = True
-            alive[sel[worst_local]] = False
-            # everything else in this circle is re-tested next pass
-        else:
-            # circle is consistent: all inner candidates settle as good
-            for i in range(s_box):
-                if in_inner[i] and cand[i]:
-                    settled[sel[i]] = True
-        settled[curr] = True
-
-    keep = core & (flags >= 0)
-    good_settled = core & settled & (flags < 0)
+    changed = core & ((state != orig_state) | score_set)
     return pd.DataFrame(
         {
-            "_sid": np.concatenate([ids[keep], ids[good_settled]]),
-            "_flag": np.concatenate(
-                [flags[keep], np.zeros(int(good_settled.sum()), dtype=np.int32)]
-            ),
-            "score": np.concatenate([scores[keep], scores[good_settled]]),
+            "_sid": ids[changed],
+            "_state": state[changed],
+            "score": scores[changed],
         }
     )
+
+
+def _scalar_or_col(spec):
+    """Band/threshold params accept None, a scalar, or a column name
+    (reference length-N vector convention, include/titanlib.h:151-157)."""
+    if isinstance(spec, str):
+        return ("col", spec)
+    return ("const", spec)
 
 
 def sct_resistant(
@@ -264,13 +337,13 @@ def sct_resistant(
     max_horizontal_scale: float = 100000.0,
     kth_closest: int = 2,
     vertical_scale: float = 200.0,
-    value_mina: float | None = None,
-    value_maxa: float | None = None,
-    value_minv: float | None = None,
-    value_maxv: float | None = None,
-    eps2: float = 0.5,
-    tpos: float = 3.0,
-    tneg: float = 3.0,
+    value_mina: float | str | None = None,
+    value_maxa: float | str | None = None,
+    value_minv: float | str | None = None,
+    value_maxv: float | str | None = None,
+    eps2: float | str = 0.5,
+    tpos: float | str = 3.0,
+    tneg: float | str = 3.0,
     basic: bool = False,
     accept_isolated: bool = True,
     obs_to_check: str | None = None,
@@ -283,62 +356,88 @@ def sct_resistant(
     flag_col: str = "flags",
 ) -> DataFrame:
     """Returns df with `flags` updated (0/1/11/12/100 vocabulary) and a
-    per-row `score` column (the chi/z diagnostic, reference `scores`)."""
+    per-row `score` column (set only for rows condemned by the OI worst-
+    offender rule, reference `scores`, include/titanlib.h:131).
+
+    Band params (value_mina/maxa/minv/maxv) and eps2/tpos/tneg accept a
+    scalar or a column name (per-row vectors, reference convention)."""
     df = ensure_flags(df, flag_col)
     df = apply_check_flags(
         df, F.when(is_invalid_value(F.col(value_col)), BAD).otherwise(GOOD), flag_col
     )
-    kernel_kwargs = dict(
+
+    # plausible range = extremes of the admissible bands (:191-196)
+    def _extreme(spec, agg, default):
+        s = _scalar_or_col(spec)
+        if s[0] == "col":
+            row = df.agg(agg(F.col(s[1]).cast("double")).alias("v")).first()
+            return float(row["v"]) if row["v"] is not None else default
+        return default if s[1] is None else float(s[1])
+
+    minp = _extreme(value_mina, F.min, -np.inf)
+    maxp = _extreme(value_maxa, F.max, np.inf)
+
+    cfg = dict(
         background_elab_type=background_elab_type,
-        num_min_outer=num_min_outer,
-        num_max_outer=num_max_outer,
-        inner_radius=inner_radius,
-        outer_radius=outer_radius,
-        num_min_prof=num_min_prof,
-        min_elev_diff=min_elev_diff,
-        min_horizontal_scale=min_horizontal_scale,
-        max_horizontal_scale=max_horizontal_scale,
-        kth_closest=kth_closest,
-        vertical_scale=vertical_scale,
-        value_mina=value_mina,
-        value_maxa=value_maxa,
-        value_minv=value_minv,
-        value_maxv=value_maxv,
-        eps2=eps2,
-        tpos=tpos,
-        tneg=tneg,
-        basic=basic,
-        accept_isolated=accept_isolated,
+        num_min_outer=int(num_min_outer),
+        num_max_outer=int(num_max_outer),
+        inner_radius=float(inner_radius),
+        outer_radius=float(outer_radius),
+        num_min_prof=int(num_min_prof),
+        min_elev_diff=float(min_elev_diff),
+        min_horizontal_scale=float(min_horizontal_scale),
+        max_horizontal_scale=float(max_horizontal_scale),
+        kth_closest=int(kth_closest),
+        vertical_scale=float(vertical_scale),
+        basic=bool(basic),
+        minp=minp,
+        maxp=maxp,
+        flag_iso_inner=ISOLATED_INNER if not accept_isolated else GOOD,
+        flag_iso_outer=ISOLATED_OUTER if not accept_isolated else GOOD,
+        mina=_scalar_or_col(value_mina),
+        maxa=_scalar_or_col(value_maxa),
+        minv=_scalar_or_col(value_minv),
+        maxv=_scalar_or_col(value_maxv),
+        eps2=_scalar_or_col(eps2),
+        tpos=_scalar_or_col(tpos),
+        tneg=_scalar_or_col(tneg),
+    )
+    band_cols = sorted(
+        {spec[1] for key in ("mina", "maxa", "minv", "maxv", "eps2", "tpos", "tneg")
+         for spec in [cfg[key]] if spec[0] == "col"}
     )
 
-    df = df.withColumn("score", F.lit(None).cast("double"))
-    prev_bad = None
-    for _ in range(int(num_iterations)):
-        unflagged = df.where(F.col(flag_col) == GOOD)
-        pts = with_ecef(unflagged, lat_col, lon_col)
+    # slim working projection: computed ONCE, state updated per pass
+    pts = with_ecef(df.where(F.col(flag_col) == GOOD), lat_col, lon_col)
+    slim = pts.select(
+        F.col(id_col).alias("_sid"),
+        F.col(lat_col).cast("double").alias("_slat"),
+        F.col(lon_col).cast("double").alias("_slon"),
+        F.coalesce(F.col(elev_col).cast("double"), F.lit(0.0)).alias("_selev"),
+        F.col(value_col).cast("double").alias("_svalue"),
+        (
+            F.col(obs_to_check).cast("boolean") if obs_to_check else F.lit(True)
+        ).alias("_sobs"),
+        (
+            F.col(background_col).cast("double")
+            if background_col
+            else F.lit(None).cast("double")
+        ).alias("_sbg"),
+        F.col("x").alias("_sx"),
+        F.col("y").alias("_sy"),
+        F.col("z").alias("_sz"),
+        F.lit(NA_STATE).cast("int").alias("_sstate"),
+        F.lit(None).cast("double").alias("_sscore"),
+        *[F.col(c).cast("double").alias(c) for c in band_cols],
+    ).localCheckpoint(eager=True)
+
+    def run_phase(frame: DataFrame, phase: int, set_flag0: bool) -> DataFrame:
         cs = float(outer_radius)
-        base = pts.select(
-            F.col(id_col).alias("_sid"),
-            F.col(lat_col).cast("double").alias("_slat"),
-            F.col(lon_col).cast("double").alias("_slon"),
-            F.coalesce(F.col(elev_col).cast("double"), F.lit(0.0)).alias("_selev"),
-            F.col(value_col).cast("double").alias("_svalue"),
-            (
-                F.col(obs_to_check).cast("boolean")
-                if obs_to_check
-                else F.lit(True)
-            ).alias("_stest"),
-            (
-                F.col(background_col).cast("double")
-                if background_col
-                else F.lit(None).cast("double")
-            ).alias("_sbg"),
-            F.col("x").alias("_sx"),
-            F.col("y").alias("_sy"),
-            F.col("z").alias("_sz"),
-            F.floor(F.col("x") / cs).cast("int").alias("_cx"),
-            F.floor(F.col("y") / cs).cast("int").alias("_cy"),
-            F.floor(F.col("z") / cs).cast("int").alias("_cz"),
+        cell = frame.select(
+            "*",
+            F.floor(F.col("_sx") / cs).cast("int").alias("_cx"),
+            F.floor(F.col("_sy") / cs).cast("int").alias("_cy"),
+            F.floor(F.col("_sz") / cs).cast("int").alias("_cz"),
         )
         offsets = F.array(
             *[
@@ -349,45 +448,71 @@ def sct_resistant(
             ]
         )
         replicated = (
-            base.withColumn("_o", F.explode(offsets))
+            cell.withColumn("_o", F.explode(offsets))
             .withColumn(
-                "_score_flag",
+                "_score",
                 (F.col("_o.dx") == 0) & (F.col("_o.dy") == 0) & (F.col("_o.dz") == 0),
             )
             .select(
-                "_sid", "_slat", "_slon", "_selev", "_svalue", "_stest", "_sbg",
-                "_sx", "_sy", "_sz",
+                "_sid", "_slat", "_slon", "_selev", "_svalue", "_sobs", "_sbg",
+                "_sx", "_sy", "_sz", "_sstate", "_score", *band_cols,
                 (F.col("_cx") + F.col("_o.dx")).alias("_cx"),
                 (F.col("_cy") + F.col("_o.dy")).alias("_cy"),
                 (F.col("_cz") + F.col("_o.dz")).alias("_cz"),
-                F.col("_score_flag").alias("_score"),
             )
         )
 
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _sct_resistant_kernel(pdf, **kernel_kwargs)
+            return _sct_resistant_kernel(pdf, phase=phase, set_flag0=set_flag0, cfg=cfg)
 
-        verdicts = replicated.groupBy("_cx", "_cy", "_cz").applyInPandas(
-            run, schema="_sid long, _flag int, score double"
-        )
-        updates = verdicts.select(
-            F.col("_sid").alias(id_col),
-            F.col("_flag").alias("_new_flag"),
+        return replicated.groupBy("_cx", "_cy", "_cz").applyInPandas(
+            run, schema="_sid long, _state int, score double"
+        ).localCheckpoint(eager=True)  # small delta; force the big job once
+
+    def merge_delta(frame: DataFrame, delta: DataFrame) -> DataFrame:
+        upd = delta.select(
+            F.col("_sid"),
+            F.col("_state").alias("_new_state"),
             F.col("score").alias("_new_score"),
         )
-        joined = df.join(updates, on=id_col, how="left")
-        joined = joined.withColumn(
-            "score", F.coalesce(F.col("_new_score"), F.col("score"))
-        )
-        joined = apply_check_flags(
-            joined,
-            F.coalesce(F.col("_new_flag"), F.lit(GOOD)),
-            flag_col,
-        ).drop("_new_flag", "_new_score")
-        joined = joined.localCheckpoint(eager=True)
-        new_bad = joined.where(F.col(flag_col) != GOOD).count()
-        df = joined
-        if prev_bad is not None and new_bad == prev_bad:
+        out = frame.join(F.broadcast(upd), on="_sid", how="left")
+        out = out.withColumn(
+            "_sstate", F.coalesce(F.col("_new_state"), F.col("_sstate"))
+        ).withColumn(
+            "_sscore", F.coalesce(F.col("_new_score"), F.col("_sscore"))
+        ).drop("_new_state", "_new_score")
+        return out.localCheckpoint(eager=True)
+
+    set_all_good = False
+    for it in range(int(num_iterations)):
+        delta = run_phase(slim, phase=1, set_flag0=(it > 0))
+        thrown_out = delta.where(F.col("_state") == BAD).count()
+        slim = merge_delta(slim, delta)
+        if thrown_out == 0:
+            set_all_good = it == 0  # :398-414
             break
-        prev_bad = new_bad
-    return df
+
+    if set_all_good:
+        slim = slim.withColumn(
+            "_sstate",
+            F.when(
+                (F.col("_sstate") == NA_STATE) & F.col("_sobs"), F.lit(GOOD)
+            ).otherwise(F.col("_sstate")),
+        )
+    else:
+        slim = merge_delta(slim, run_phase(slim, phase=2, set_flag0=True))
+        slim = merge_delta(slim, run_phase(slim, phase=3, set_flag0=True))
+
+    verdict = slim.select(
+        F.col("_sid").alias(id_col),
+        F.when(F.col("_sstate") == NA_STATE, F.lit(GOOD))
+        .otherwise(F.col("_sstate"))
+        .alias("_new_flag"),
+        F.col("_sscore").alias("_new_score"),
+    )
+    joined = df.join(verdict, on=id_col, how="left")
+    joined = joined.withColumn("score", F.col("_new_score"))
+    joined = apply_check_flags(
+        joined, F.coalesce(F.col("_new_flag"), F.lit(GOOD)), flag_col
+    ).drop("_new_flag", "_new_score")
+    return joined
