@@ -80,8 +80,11 @@ from titanlib_spark.operators.background import (
 )
 from titanlib_spark.operators.range_check import is_invalid_value
 from titanlib_spark.operators.sct import _geodetic_dist_matrix
-
-NA_STATE = -999  # reference: flags start at -999 = not checked
+from titanlib_spark.operators._sct_phases import (
+    NA_STATE,
+    scalar_or_col,
+    three_phase_driver,
+)
 
 
 def _background_box(mode, elevs, values, ext, num_min_prof, min_elev_diff,
@@ -315,14 +318,6 @@ def _sct_resistant_kernel(pdf: pd.DataFrame, *, phase: int, set_flag0: bool,
     )
 
 
-def _scalar_or_col(spec):
-    """Band/threshold params accept None, a scalar, or a column name
-    (reference length-N vector convention, include/titanlib.h:151-157)."""
-    if isinstance(spec, str):
-        return ("col", spec)
-    return ("const", spec)
-
-
 def sct_resistant(
     df: DataFrame,
     background_elab_type: str = "median_outer_circle",
@@ -368,7 +363,7 @@ def sct_resistant(
 
     # plausible range = extremes of the admissible bands (:191-196)
     def _extreme(spec, agg, default):
-        s = _scalar_or_col(spec)
+        s = scalar_or_col(spec)
         if s[0] == "col":
             row = df.agg(agg(F.col(s[1]).cast("double")).alias("v")).first()
             return float(row["v"]) if row["v"] is not None else default
@@ -394,13 +389,13 @@ def sct_resistant(
         maxp=maxp,
         flag_iso_inner=ISOLATED_INNER if not accept_isolated else GOOD,
         flag_iso_outer=ISOLATED_OUTER if not accept_isolated else GOOD,
-        mina=_scalar_or_col(value_mina),
-        maxa=_scalar_or_col(value_maxa),
-        minv=_scalar_or_col(value_minv),
-        maxv=_scalar_or_col(value_maxv),
-        eps2=_scalar_or_col(eps2),
-        tpos=_scalar_or_col(tpos),
-        tneg=_scalar_or_col(tneg),
+        mina=scalar_or_col(value_mina),
+        maxa=scalar_or_col(value_maxa),
+        minv=scalar_or_col(value_minv),
+        maxv=scalar_or_col(value_maxv),
+        eps2=scalar_or_col(eps2),
+        tpos=scalar_or_col(tpos),
+        tneg=scalar_or_col(tneg),
     )
     band_cols = sorted(
         {spec[1] for key in ("mina", "maxa", "minv", "maxv", "eps2", "tpos", "tneg")
@@ -409,7 +404,7 @@ def sct_resistant(
 
     # slim working projection: computed ONCE, state updated per pass
     pts = with_ecef(df.where(F.col(flag_col) == GOOD), lat_col, lon_col)
-    slim = pts.select(
+    pool = pts.select(
         F.col(id_col).alias("_sid"),
         F.col(lat_col).cast("double").alias("_slat"),
         F.col(lon_col).cast("double").alias("_slon"),
@@ -426,89 +421,23 @@ def sct_resistant(
         F.col("x").alias("_sx"),
         F.col("y").alias("_sy"),
         F.col("z").alias("_sz"),
-        F.lit(NA_STATE).cast("int").alias("_sstate"),
-        F.lit(None).cast("double").alias("_sscore"),
         *[F.col(c).cast("double").alias(c) for c in band_cols],
-    ).localCheckpoint(eager=True)
+    )
 
-    def run_phase(frame: DataFrame, phase: int, set_flag0: bool) -> DataFrame:
-        cs = float(outer_radius)
-        cell = frame.select(
-            "*",
-            F.floor(F.col("_sx") / cs).cast("int").alias("_cx"),
-            F.floor(F.col("_sy") / cs).cast("int").alias("_cy"),
-            F.floor(F.col("_sz") / cs).cast("int").alias("_cz"),
-        )
-        offsets = F.array(
-            *[
-                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"), F.lit(dz).alias("dz"))
-                for dx in (-1, 0, 1)
-                for dy in (-1, 0, 1)
-                for dz in (-1, 0, 1)
-            ]
-        )
-        replicated = (
-            cell.withColumn("_o", F.explode(offsets))
-            .withColumn(
-                "_score",
-                (F.col("_o.dx") == 0) & (F.col("_o.dy") == 0) & (F.col("_o.dz") == 0),
-            )
-            .select(
-                "_sid", "_slat", "_slon", "_selev", "_svalue", "_sobs", "_sbg",
-                "_sx", "_sy", "_sz", "_sstate", "_score", *band_cols,
-                (F.col("_cx") + F.col("_o.dx")).alias("_cx"),
-                (F.col("_cy") + F.col("_o.dy")).alias("_cy"),
-                (F.col("_cz") + F.col("_o.dz")).alias("_cz"),
-            )
-        )
+    def kernel(pdf: pd.DataFrame, phase: int, set_flag0: bool) -> pd.DataFrame:
+        return _sct_resistant_kernel(pdf, phase=phase, set_flag0=set_flag0, cfg=cfg)
 
-        def run(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _sct_resistant_kernel(pdf, phase=phase, set_flag0=set_flag0, cfg=cfg)
-
-        return replicated.groupBy("_cx", "_cy", "_cz").applyInPandas(
-            run, schema="_sid long, _state int, score double"
-        ).localCheckpoint(eager=True)  # small delta; force the big job once
-
-    def merge_delta(frame: DataFrame, delta: DataFrame) -> DataFrame:
-        upd = delta.select(
-            F.col("_sid"),
-            F.col("_state").alias("_new_state"),
-            F.col("score").alias("_new_score"),
-        )
-        out = frame.join(F.broadcast(upd), on="_sid", how="left")
-        out = out.withColumn(
-            "_sstate", F.coalesce(F.col("_new_state"), F.col("_sstate"))
-        ).withColumn(
-            "_sscore", F.coalesce(F.col("_new_score"), F.col("_sscore"))
-        ).drop("_new_state", "_new_score")
-        return out.localCheckpoint(eager=True)
-
-    set_all_good = False
-    for it in range(int(num_iterations)):
-        delta = run_phase(slim, phase=1, set_flag0=(it > 0))
-        thrown_out = delta.where(F.col("_state") == BAD).count()
-        slim = merge_delta(slim, delta)
-        if thrown_out == 0:
-            set_all_good = it == 0  # :398-414
-            break
-
-    if set_all_good:
-        slim = slim.withColumn(
-            "_sstate",
-            F.when(
-                (F.col("_sstate") == NA_STATE) & F.col("_sobs"), F.lit(GOOD)
-            ).otherwise(F.col("_sstate")),
-        )
-    else:
-        slim = merge_delta(slim, run_phase(slim, phase=2, set_flag0=True))
-        slim = merge_delta(slim, run_phase(slim, phase=3, set_flag0=True))
-
-    verdict = slim.select(
-        F.col("_sid").alias(id_col),
-        F.when(F.col("_sstate") == NA_STATE, F.lit(GOOD))
-        .otherwise(F.col("_sstate"))
-        .alias("_new_flag"),
-        F.col("_sscore").alias("_new_score"),
+    verdict = three_phase_driver(
+        pool,
+        kernel,
+        outer_radius=float(outer_radius),
+        num_iterations=int(num_iterations),
+        band_cols=band_cols,
+        id_col=id_col,
+    ).select(
+        id_col,
+        F.col("_state").alias("_new_flag"),
+        F.col("score").alias("_new_score"),
     )
     joined = df.join(verdict, on=id_col, how="left")
     joined = joined.withColumn("score", F.col("_new_score"))
