@@ -101,3 +101,24 @@ def test_lag_filter_matches_numpy(spark):
     exp = _lag_filter_np(times, values, 0.5, 0.5, 0.25, 0.25, 2)
     for t, e in zip(times, exp):
         assert abs(got[float(t)] - e) < 1e-12
+
+
+def test_sct_vector_params_and_rep(spark):
+    """Per-row pos/neg/eps2 columns (reference vec convention,
+    include/titanlib.h:86-102) + the rep output (allocated-but-never-
+    written in the reference, src/sct.cpp:91-92 -> constant 0)."""
+    rows = [
+        (i, LATS[i], LONS[i], 0.0, v, 2.0, 2.0, 0.5)
+        for i, v in enumerate([0.0, 1.0, 100.0])
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, lat double, lon double, elev double, value double, "
+        "p double, n double, e double",
+    )
+    kw = dict(SCT_KW)
+    kw.pop("pos"), kw.pop("neg"), kw.pop("eps2")
+    out = sct(df, pos="p", neg="n", eps2="e", **kw)
+    got = {r.id: (r.flags, r.rep) for r in out.collect()}
+    assert {i: f for i, (f, _) in got.items()} == {0: 0, 1: 0, 2: 1}
+    assert all(rep == 0.0 for _, rep in got.values())

@@ -103,6 +103,8 @@ def buddy_check(
         df, F.when(is_invalid_value(F.col(value_col)), BAD).otherwise(GOOD), flag_col
     )
 
+    df = df.localCheckpoint(eager=True)
+    prev_bad = df.where(F.col(flag_col) != GOOD).count()
     for _ in range(int(num_iterations)):
         unflagged = df.where(F.col(flag_col) == GOOD)
         stats = _buddy_stats(
@@ -136,11 +138,10 @@ def buddy_check(
         ).drop("_n_buddies", "_buddy_mean", "_buddy_var")
 
         new_df = new_df.localCheckpoint(eager=True)
-        newly_flagged = (
-            new_df.where(F.col(flag_col) != GOOD).count()
-            - df.where(F.col(flag_col) != GOOD).count()
-        )
+        # one count per round: carry the previous total
+        n_bad = new_df.where(F.col(flag_col) != GOOD).count()
         df = new_df
-        if newly_flagged == 0:
+        if n_bad == prev_bad:
             break  # early stop (src/buddy_check.cpp:161-176)
+        prev_bad = n_bad
     return df

@@ -49,6 +49,8 @@ def buddy_event_check(
     )
     use_elev = elev_col is not None and max_elev_diff > 0
 
+    df = df.localCheckpoint(eager=True)
+    prev_bad = df.where(F.col(flag_col) != GOOD).count()
     for _ in range(int(num_iterations)):
         unflagged = df.where(F.col(flag_col) == GOOD)
         payload = (value_col, elev_col) if use_elev else (value_col,)
@@ -105,11 +107,10 @@ def buddy_event_check(
         ).drop("_n_buddies", "_n_event")
 
         new_df = new_df.localCheckpoint(eager=True)
-        newly_flagged = (
-            new_df.where(F.col(flag_col) != GOOD).count()
-            - df.where(F.col(flag_col) != GOOD).count()
-        )
+        # one count per round: carry the previous total
+        n_bad = new_df.where(F.col(flag_col) != GOOD).count()
         df = new_df
-        if newly_flagged == 0:
+        if n_bad == prev_bad:
             break
+        prev_bad = n_bad
     return df

@@ -55,6 +55,8 @@ def fgt(
     )
     sb = F.col(sigma_b) if isinstance(sigma_b, str) else F.lit(float(sigma_b))
 
+    df = df.localCheckpoint(eager=True)
+    prev_bad = df.where(F.col(flag_col) != GOOD).count()
     for _ in range(int(num_iterations)):
         good = df.where(F.col(flag_col) == GOOD)
         chi = F.abs(F.col(value_col) - F.col(bg_col)) / sb
@@ -134,11 +136,10 @@ def fgt(
             flag_col,
         ).drop("_fgt_bad")
         new_df = new_df.localCheckpoint(eager=True)
-        thrown = (
-            new_df.where(F.col(flag_col) != GOOD).count()
-            - df.where(F.col(flag_col) != GOOD).count()
-        )
+        # one count per round: carry the previous total
+        n_bad = new_df.where(F.col(flag_col) != GOOD).count()
         df = new_df
-        if thrown == 0:
+        if n_bad == prev_bad:
             break
+        prev_bad = n_bad
     return df

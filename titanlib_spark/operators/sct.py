@@ -30,9 +30,15 @@ per-cell instead of global, so the `checked` memo never spans cells.
 Verdicts for a given neighborhood are identical; which neighborhoods get
 evaluated can differ — the reference itself is order-tolerant here.
 
-Skew control: dense cells are bounded by ``num_max`` (O(num_max^3)
-inversion cap — the reference's own control, src/sct.cpp:130-146) plus an
-optional hard per-cell candidate cap.
+Skew control: dense cells are bounded by ``num_max`` per centroid
+(O(num_max^3) inversion cap — the reference's own control,
+src/sct.cpp:130-146); per-cell kernel input is bounded by cell geography
+times the 27x halo replication, the same bound the reference's in-memory
+R-tree carries globally.
+
+The reference also returns ``rep`` (coefficient of representativity,
+include/titanlib.h:82) — it is allocated and zero-filled but never
+written (src/sct.cpp:91-92), so parity is a constant-0 column.
 """
 
 from __future__ import annotations
@@ -71,9 +77,9 @@ def _sct_kernel(
     min_elev_diff: float,
     min_horizontal_scale: float,
     vertical_scale: float,
-    pos: float,
-    neg: float,
-    eps2: float,
+    pos,
+    neg,
+    eps2,
 ) -> pd.DataFrame:
     ids = pdf["_sid"].to_numpy()
     lats = pdf["_slat"].to_numpy(dtype=float)
@@ -86,6 +92,16 @@ def _sct_kernel(
     y = pdf["_sy"].to_numpy(dtype=float)
     z = pdf["_sz"].to_numpy(dtype=float)
     n = len(ids)
+
+    def band(spec, default):
+        # per-row vectors (reference vec pos/neg/eps2, include/titanlib.h:86-102)
+        if spec[0] == "col":
+            return pdf[spec[1]].to_numpy(dtype=float)
+        return np.full(n, default if spec[1] is None else float(spec[1]))
+
+    pos_v = band(pos, 4.0)
+    neg_v = band(neg, 4.0)
+    eps2_v = band(eps2, 0.5)
 
     flags = np.zeros(n, dtype=np.int32)
     pog_out = np.full(n, np.nan)
@@ -128,13 +144,13 @@ def _sct_kernel(
         S = np.exp(
             -0.5 * (disth / dh_mean) ** 2 - 0.5 * (distz / vertical_scale) ** 2
         )
-        S[np.diag_indices(s_box)] += eps2
+        S[np.diag_indices(s_box)] += eps2_v[sel]
         d = v_box - vp
         try:
             Sinv = np.linalg.inv(S)
         except np.linalg.LinAlgError:
             continue  # reference skips on inversion failure (src/sct.cpp:221-224)
-        S[np.diag_indices(s_box)] -= eps2  # unweight diagonal
+        S[np.diag_indices(s_box)] -= eps2_v[sel]  # unweight diagonal
 
         Sinv_d = Sinv @ d
         ares = S @ Sinv_d - d
@@ -146,15 +162,18 @@ def _sct_kernel(
         dists = d_chord[sel]
         for i in range(s_box):
             idx = sel[i]
+            # obs_to_check masks rows from flagging/pog entirely but they
+            # still contribute to the OI (src/sct.cpp:274-278)
+            if not to_test[idx]:
+                checked[curr] = True  # mirrors the reference's own quirk
+                continue
             if dists[i] <= inner_radius:
                 if not core[idx]:
                     continue
                 prev = pog_out[idx]
                 pog_out[idx] = pog[i] if np.isnan(prev) else max(prev, pog[i])
-                # obs_to_check gates flagging only — masked rows still
-                # contribute to the OI (reference tests/sct_test.py:91-100)
-                if to_test[idx] and (
-                    (cvres[i] < 0 and pog[i] > pos) or (cvres[i] >= 0 and pog[i] > neg)
+                if (cvres[i] < 0 and pog[i] > pos_v[idx]) or (
+                    cvres[i] >= 0 and pog[i] > neg_v[idx]
                 ):
                     flags[idx] = BAD
                 checked[idx] = True
@@ -180,9 +199,9 @@ def sct(
     min_elev_diff: float = 200.0,
     min_horizontal_scale: float = 10000.0,
     vertical_scale: float = 200.0,
-    pos: float = 4.0,
-    neg: float = 4.0,
-    eps2: float = 0.5,
+    pos: float | str = 4.0,
+    neg: float | str = 4.0,
+    eps2: float | str = 0.5,
     id_col: str = "id",
     lat_col: str = "lat",
     lon_col: str = "lon",
@@ -191,16 +210,26 @@ def sct(
     flag_col: str = "flags",
     obs_to_check: str | None = None,
 ) -> DataFrame:
-    """Returns df with `flags` updated and a `prob_gross_error` column.
-    `obs_to_check` optionally names a 0/1 column gating which rows may be
-    FLAGGED (reference tests/sct_test.py:91-100 semantics: masked rows
-    still contribute as neighbors)."""
+    """Returns df with `flags` updated plus `prob_gross_error` and `rep`
+    columns (`rep` is constant 0: the reference allocates but never writes
+    it, src/sct.cpp:91-92). `obs_to_check` optionally names a 0/1 column
+    gating which rows may be flagged (reference tests/sct_test.py:91-100
+    semantics: masked rows still contribute as neighbors). pos/neg/eps2
+    accept a scalar or a column name (per-row vectors, reference
+    include/titanlib.h:86-102)."""
+    from titanlib_spark.operators._sct_phases import scalar_or_col
+
     df = ensure_flags(df, flag_col)
     df = apply_check_flags(
         df, F.when(is_invalid_value(F.col(value_col)), BAD).otherwise(GOOD), flag_col
     )
-    result_pog = None
+    pos_s, neg_s, eps2_s = scalar_or_col(pos), scalar_or_col(neg), scalar_or_col(eps2)
+    band_cols = sorted(
+        {s[1] for s in (pos_s, neg_s, eps2_s) if s[0] == "col"}
+    )
 
+    df = df.localCheckpoint(eager=True)
+    prev_bad = df.where(F.col(flag_col) != GOOD).count()
     for _ in range(int(num_iterations)):
         unflagged = df.where(F.col(flag_col) == GOOD)
         pts = with_ecef(unflagged, lat_col, lon_col)
@@ -222,6 +251,7 @@ def sct(
             F.floor(F.col("x") / cs).cast("int").alias("_cx"),
             F.floor(F.col("y") / cs).cast("int").alias("_cy"),
             F.floor(F.col("z") / cs).cast("int").alias("_cz"),
+            *[F.col(c).cast("double").alias(c) for c in band_cols],
         )
         offsets = F.array(
             *[
@@ -245,6 +275,7 @@ def sct(
                 "_sy",
                 "_sz",
                 "_score",
+                *band_cols,
                 (F.col("_cx") + F.col("_o.dx")).alias("_cx"),
                 (F.col("_cy") + F.col("_o.dy")).alias("_cy"),
                 (F.col("_cz") + F.col("_o.dz")).alias("_cz"),
@@ -262,9 +293,9 @@ def sct(
                 min_elev_diff,
                 min_horizontal_scale,
                 vertical_scale,
-                pos,
-                neg,
-                eps2,
+                pos_s,
+                neg_s,
+                eps2_s,
             )
 
         verdicts = replicated.groupBy("_cx", "_cy", "_cz").applyInPandas(
@@ -284,11 +315,10 @@ def sct(
         ).withColumnRenamed("_pog_new", "prob_gross_error").drop("_sct_flag")
         new_df = new_df.localCheckpoint(eager=True)
 
-        thrown_out = (
-            new_df.where(F.col(flag_col) != GOOD).count()
-            - df.where(F.col(flag_col) != GOOD).count()
-        )
+        # one count per round: carry the previous total (src/sct.cpp:294-299)
+        n_bad = new_df.where(F.col(flag_col) != GOOD).count()
         df = new_df
-        if thrown_out == 0:
+        if n_bad == prev_bad:
             break
-    return df
+        prev_bad = n_bad
+    return df.withColumn("rep", F.lit(0.0))  # src/sct.cpp:91-92: never written
