@@ -44,6 +44,7 @@ from titanlib_spark.textops import (
     cosine_topk,
     lsh_bucketed_topk,
     minhash_lsh_dedup,
+    minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
     token_count,
@@ -337,6 +338,22 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed plan (the 100 TB shape): hyperplane-signature equi-join,
+    no O(n^2) cross product. The oracle computes the identical signature."""
+    from titanlib_spark.textops import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "emb_d", F.col("embedding").cast("array<double>")
+    )
+    pairs = embedding_near_dup_pairs(
+        e, threshold=0.4, vec_col="emb_d", n_planes=4, dim=64, n_tables=8
+    )
+    return pairs.select("id_a", "id_b")
+
+
+def q_embedding_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact O(n^2) verifier — the recall baseline for the LSH entry; run
+    at sf <= 0.01 only."""
     from titanlib_spark.textops import embedding_near_dup_pairs
 
     e = _t(spark, sf_dir, "embeddings").withColumn(
@@ -349,16 +366,35 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     kept = minhash_lsh_dedup(
-        d, id_col="doc_id", text_col="text", threshold=0.7, num_hashes=64, bands=16
+        d, id_col="doc_id", text_col="text", threshold=0.7, num_hashes=64,
+        bands=16, hash_fn="md5",
     )
     return kept.select("doc_id").orderBy("doc_id")
+
+
+def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 64-slot MinHash signatures, value-hash-checked against DuckDB
+    (md5-derived permutation hashes — identical integer math both sides)."""
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, num_hashes=64, shingle_size=5, hash_fn="md5")
+    return sigs.select(
+        "doc_id", F.coalesce(F.col("minhash")[0], F.lit(-1)).alias("m0"),
+        F.coalesce(F.col("minhash")[31], F.lit(-1)).alias("m31"),
+        F.coalesce(F.col("minhash")[63], F.lit(-1)).alias("m63"),
+        F.coalesce(
+            F.aggregate(F.col("minhash"), F.lit(0).cast("long"), lambda a, v: a + v),
+            F.lit(-1),
+        ).alias("sig_sum"),
+    )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from titanlib_spark.textops.dedup import simhash_table
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_table(d).select("doc_id", F.col("simhash").alias("simhash64"))
+    return simhash_table(d, bits=60, hash_fn="md5").select(
+        "doc_id", F.col("simhash").alias("simhash60")
+    )
 
 
 def q_lag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -853,10 +889,175 @@ SELECT vec_id, rank FROM (
     cos_ab = (
         f"{_dot(ea, eb)} / (sqrt({_dot(ea, ea)}) * sqrt({_dot(eb, eb)}))"
     )
-    sql["embedding_near_dups"] = f"""
+    sql["embedding_near_dups_exact"] = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {cos_ab} >= 0.4
+"""
+
+    # hyperplane signature: same seeded planes as textops.similarity
+    # (np.random.default_rng(7)), same left-fold dot -> bit-identical buckets
+    import numpy as np
+
+    planes = np.random.default_rng(7).standard_normal((8, 64))
+
+    def _plane_lit(p) -> str:
+        return "([" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[])"
+
+    def _sig_sql(v: str) -> str:
+        terms = [
+            f"(CASE WHEN {_dot(v, _plane_lit(planes[p]))} > 0"
+            f" THEN {1 << p} ELSE 0 END)"
+            for p in range(8)
+        ]
+        return " + ".join(terms)
+
+    # banded multi-table LSH: 8 tables of 4 planes, seeds 7..14 (mirrors
+    # embedding_near_dup_pairs(n_planes=4, n_tables=8)); a pair is a
+    # candidate if it collides in ANY table
+    def _sig_sql_planes(v: str, pl) -> str:
+        return " + ".join(
+            f"(CASE WHEN {_dot(v, _plane_lit(pl[p]))} > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(len(pl))
+        )
+
+    table_sigs = [
+        _sig_sql_planes(
+            "(embedding::DOUBLE[])",
+            np.random.default_rng(7 + t).standard_normal((4, 64)),
+        )
+        for t in range(8)
+    ]
+    sig_cols = ",\n         ".join(
+        f"{s} AS sig{t}" for t, s in enumerate(table_sigs)
+    )
+    any_collision = " OR ".join(f"a.sig{t} = b.sig{t}" for t in range(8))
+    sql["embedding_near_dups"] = f"""
+WITH sigs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {sig_cols}
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
+WHERE ({any_collision})
+  AND {_dot("(a.v)", "(b.v)")}
+      / (sqrt({_dot("(a.v)", "(a.v)")}) * sqrt({_dot("(b.v)", "(b.v)")})) >= 0.4
+"""
+
+    _qv_np = np.asarray(_QUERY_VEC, dtype=float)
+    qbits = int(sum((1 << p) for p in range(8) if planes[p] @ _qv_np > 0))
+    probes = sorted({qbits} | {qbits ^ (1 << p) for p in range(8)})
+    sql["ann_topk_lsh"] = f"""
+WITH q AS (SELECT {qv} AS qv),
+sigs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {_sig_sql("(embedding::DOUBLE[])")} AS sig
+  FROM embeddings
+),
+scored AS (
+  SELECT vec_id,
+         {_dot("v", "qv")} / (sqrt({_dot("v", "v")}) * sqrt({_dot("qv", "qv")})) AS cos
+  FROM sigs, q
+  WHERE sig IN ({", ".join(str(x) for x in probes)})
+)
+SELECT vec_id, rank FROM (
+  SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+    # --- md5-mode minhash / simhash: identical integer math both engines --
+    from titanlib_spark.textops.dedup import MERSENNE31, _minhash_coeffs
+
+    av, bv = _minhash_coeffs(64)
+    P = MERSENNE31
+    _shingles = (
+        "CASE WHEN len(lower(text)) >= 5 THEN "
+        "list_distinct(list_transform(range(1, len(lower(text)) - 3), "
+        "i -> substring(lower(text), i, 5))) "
+        "ELSE []::VARCHAR[] END"
+    )
+    _h60 = "('0x' || substring(md5(_s), 1, 15))::BIGINT"
+    _mins = ",\n         ".join(
+        f"min(({av[i]} * h + {bv[i]}) % {P}) AS m{i}" for i in range(64)
+    )
+    _sig_list = "[" + ", ".join(f"m{i}" for i in range(64)) + "]"
+    _minhash_base = f"""
+sh AS (SELECT doc_id, {_shingles} AS g FROM documents),
+ex AS (SELECT doc_id, unnest(g) AS _s FROM sh),
+hx AS (SELECT doc_id, {_h60} % {P} AS h FROM ex),
+votes AS (
+  SELECT doc_id,
+         {_mins}
+  FROM hx GROUP BY doc_id
+),
+sigs AS (SELECT doc_id, {_sig_list} AS sig FROM votes)
+"""
+    _sum64 = " + ".join(f"m{i}" for i in range(64))
+    sql["minhash_sigs"] = f"""
+WITH {_minhash_base.strip()}
+SELECT d.doc_id,
+       coalesce(v.m0, -1) AS m0,
+       coalesce(v.m31, -1) AS m31,
+       coalesce(v.m63, -1) AS m63,
+       coalesce({" + ".join(f"v.m{i}" for i in range(64))}, -1) AS sig_sum
+FROM documents d LEFT JOIN votes v USING (doc_id)
+"""
+
+    # full LSH dedup pipeline: bands of 4 slots, bucket key = the slice
+    # string, per-bucket cap 1000, jaccard estimate >= 0.7, losers dropped
+    sql["minhash_dedup"] = f"""
+WITH {_minhash_base.strip()},
+banded AS (
+  SELECT doc_id, b AS band,
+         array_to_string(sig[b*4+1 : b*4+4], ',') AS bucket
+  FROM sigs, (SELECT unnest(range(0, 16)) AS b)
+),
+ok_buckets AS (
+  SELECT band, bucket FROM banded GROUP BY band, bucket
+  HAVING count(*) <= 1000
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a
+  JOIN ok_buckets o ON a.band = o.band AND a.bucket = o.bucket
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT id_a, id_b
+  FROM cands
+  JOIN sigs sa ON sa.doc_id = id_a
+  JOIN sigs sb ON sb.doc_id = id_b
+  WHERE len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) / 64.0 >= 0.7
+),
+losers AS (SELECT DISTINCT id_b AS doc_id FROM verified)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+ORDER BY doc_id
+"""
+
+    _tok_h = (
+        "('0x' || substring(md5(unnest(regexp_split_to_array("
+        "lower(trim(text)), '\\s+'))), 1, 15))::BIGINT"
+    )
+    _bitvotes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(60)
+    )
+    _fp = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END)" for b in range(60)
+    )
+    sql["simhash"] = f"""
+WITH ex AS (SELECT doc_id, {_tok_h} AS h FROM documents),
+votes AS (
+  SELECT doc_id,
+         {_bitvotes}
+  FROM ex GROUP BY doc_id
+),
+fp AS (SELECT doc_id, {_fp} AS simhash60 FROM votes)
+SELECT d.doc_id, coalesce(fp.simhash60, 0) AS simhash60
+FROM documents d LEFT JOIN fp USING (doc_id)
 """
 
     # --- the flagship webtext pipeline over `documents` -------------------
@@ -997,7 +1198,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "minhash_dedup": q_minhash_dedup,
+        "minhash_sigs": q_minhash_sigs,
         "simhash": q_simhash,
         "lag_filter": q_lag_filter,
         "sct": q_sct,

@@ -26,8 +26,19 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep one representative per exact text; deterministic first-wins by
     `order_cols` (the greedy scan of reference src/duplicate_check.cpp:24-49
-    collapsed to a window rank over an exact key)."""
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(
+    collapsed to a window rank over an exact key).
+
+    Null/empty texts are never duplicates of each other: they partition by
+    their own order key (singleton windows), which also keeps the would-be
+    null-hash bucket from becoming one giant skewed partition (same
+    `_nohash_` pattern as webtext.dedup.is_duplicate)."""
+    t = F.col(text_col)
+    hashable = t.isNotNull() & (F.length(t) > 0)
+    key = F.when(hashable, F.md5(t))
+    key = F.coalesce(
+        key, F.concat(F.lit("_nohash_"), F.col(order_cols[-1]).cast("string"))
+    )
+    w = Window.partitionBy(key).orderBy(
         *[F.col(c).asc() if keep == "first" else F.col(c).desc() for c in order_cols]
     )
     return (
@@ -38,6 +49,27 @@ def exact_dedup(
 
 
 # --- shingles / minhash ------------------------------------------------------
+
+MERSENNE31 = 2147483647  # 2^31 - 1: keeps a*h+b inside 63 bits on any engine
+
+
+def md5_hash64(c: Column) -> Column:
+    """Cross-engine 60-bit hash: first 15 hex chars of md5 as a bigint.
+
+    Bit-identical in DuckDB via ('0x' || substring(md5(s),1,15))::BIGINT —
+    the oracle-parity twin of xxhash64 (which has no DuckDB equivalent)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def _minhash_coeffs(num_hashes: int, seed: int = 42):
+    """Seeded (a, b) pairs for the k permutation hashes
+    h_i(x) = (a_i * (H(x) mod P) + b_i) mod P, P = 2^31-1."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE31, size=num_hashes)
+    b = rng.integers(0, MERSENNE31, size=num_hashes)
+    return a.tolist(), b.tolist()
 
 def char_shingles(text: str | Column, n: int = 5) -> Column:
     """Distinct lowercase character n-grams, computed JVM-side:
@@ -60,10 +92,15 @@ def minhash_signatures(
     shingle_size: int = 5,
     out_col: str = "minhash",
     id_col: str | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """k-permutation MinHash over char shingles:
-    h_i(s) = xxhash64(str(i), s); signature[i] = min over shingles.
-    Empty/too-short docs get a null signature.
+    """k-permutation MinHash over char shingles; signature[i] = min over
+    shingles of h_i(s). Empty/too-short docs get a null signature.
+
+    hash_fn="xxhash64" (default): h_i(s) = xxhash64(str(i), s) — fastest,
+    JVM-only. hash_fn="md5": h_i(s) = (a_i * (md5_hash64(s) mod P) + b_i)
+    mod P with seeded coefficients — identical math is expressible in
+    DuckDB SQL, so the full signature is value-oracle-checkable.
 
     Physical plan: explode distinct shingles -> ONE groupBy with k
     codegen'd min-aggregates -> assemble the signature array. The obvious
@@ -74,12 +111,25 @@ def minhash_signatures(
     id_col = id_col or "doc_id"
     sh = char_shingles(text_col, shingle_size)
     exploded = df.select(F.col(id_col), F.explode(sh).alias("_s"))
-    votes = exploded.groupBy(id_col).agg(
-        *[
-            F.min(F.xxhash64(F.lit(str(i)), F.col("_s"))).alias(f"_m{i}")
-            for i in range(num_hashes)
-        ]
-    )
+    if hash_fn == "md5":
+        av, bv = _minhash_coeffs(num_hashes)
+        hmod = md5_hash64(F.col("_s")) % MERSENNE31
+        exploded = exploded.select(F.col(id_col), hmod.alias("_h"))
+        votes = exploded.groupBy(id_col).agg(
+            *[
+                F.min((F.lit(av[i]) * F.col("_h") + F.lit(bv[i])) % MERSENNE31).alias(
+                    f"_m{i}"
+                )
+                for i in range(num_hashes)
+            ]
+        )
+    else:
+        votes = exploded.groupBy(id_col).agg(
+            *[
+                F.min(F.xxhash64(F.lit(str(i)), F.col("_s"))).alias(f"_m{i}")
+                for i in range(num_hashes)
+            ]
+        )
     sig = F.array(*[F.col(f"_m{i}") for i in range(num_hashes)])
     sigs = votes.select(F.col(id_col), sig.alias(out_col))
     return df.join(sigs, on=id_col, how="left")
@@ -91,27 +141,29 @@ def minhash_lsh_candidates(
     sig_col: str = "minhash",
     bands: int = 16,
     max_bucket: int = 1000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate pairs (a < b) sharing at least one LSH band bucket.
 
     Signature of length k is cut into `bands` rows-per-band groups; a band's
-    bucket key is the hash of its slice. Pairs are generated inside buckets
-    with a self-join on the bucket key; buckets larger than `max_bucket`
-    are dropped (degenerate content, e.g. boilerplate — the reference's
-    num_max truncation applied to LSH)."""
-    rows_per_band = None  # derived from signature length at runtime
+    bucket key is the hash of its slice (hash_fn="md5": the slice string
+    itself — trivially oracle-equal, slightly wider shuffle rows). Pairs are
+    generated inside buckets with a self-join on the bucket key; buckets
+    larger than `max_bucket` are dropped (degenerate content, e.g.
+    boilerplate — the reference's num_max truncation applied to LSH)."""
     sig = F.col(sig_col)
     k = F.size(sig)
     r = (k / bands).cast("int")
+    if hash_fn == "md5":
+        bucket_of = lambda b: F.concat_ws(",", F.slice(sig, b * r + 1, r))
+    else:
+        bucket_of = lambda b: F.xxhash64(
+            F.concat_ws(",", F.slice(sig, b * r + 1, r)), b.cast("string")
+        )
     banded = df.where(sig.isNotNull()).select(
         F.col(id_col),
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(",", F.slice(sig, b * r + 1, r)), b.cast("string")
-                ),
-            )
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), bucket_of)
         ).alias("band", "bucket"),
     )
     counts = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_c"))
@@ -150,6 +202,7 @@ def minhash_lsh_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_size: int = 5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Drop near-duplicates: candidates from LSH buckets, verified by the
     MinHash Jaccard estimate, losers = the larger id of each verified pair
@@ -158,9 +211,9 @@ def minhash_lsh_dedup(
     the next run — exact connected components are overkill for filter-grade
     dedup and would add an iterative shuffle)."""
     with_sig = minhash_signatures(
-        df, text_col, num_hashes, shingle_size, id_col=id_col
+        df, text_col, num_hashes, shingle_size, id_col=id_col, hash_fn=hash_fn
     )
-    cands = minhash_lsh_candidates(with_sig, id_col, "minhash", bands)
+    cands = minhash_lsh_candidates(with_sig, id_col, "minhash", bands, hash_fn=hash_fn)
     sigs = with_sig.select(F.col(id_col), F.col("minhash"))
     pairs = (
         cands.join(
@@ -212,15 +265,25 @@ def simhash_table(
     text_col: str = "text",
     out_col: str = "simhash",
     bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Scalable SimHash: explode tokens -> one groupBy with 64 codegen'd
+    """Scalable SimHash: explode tokens -> one groupBy with `bits` codegen'd
     conditional sums -> fingerprint assembly. One shuffle on the id; the
     per-bit votes are columnar aggregates (map-side partial agg), ~50x
     faster than the per-row HOF expression of :func:`simhash` and the
-    form to use beyond unit scale. Docs with no tokens get fingerprint 0."""
+    form to use beyond unit scale. Docs with no tokens get fingerprint 0.
+
+    hash_fn="md5" uses the DuckDB-expressible 60-bit md5 token hash (so
+    pass bits <= 60) and makes the fingerprint value-oracle-checkable."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    if hash_fn == "md5":
+        if bits > 60:
+            raise ValueError("md5 mode carries 60 usable bits")
+        token_hash = md5_hash64(F.col("_w"))
+    else:
+        token_hash = F.xxhash64(F.col("_w"))
     exploded = df.select(F.col(id_col), F.explode(toks).alias("_w")).withColumn(
-        "_h", F.xxhash64(F.col("_w"))
+        "_h", token_hash
     )
     votes = exploded.groupBy(id_col).agg(
         *[

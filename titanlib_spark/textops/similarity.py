@@ -98,26 +98,43 @@ def embedding_near_dup_pairs(
     n_planes: int = 0,
     seed: int = 7,
     dim: int | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
     """All pairs (a < b) with cosine similarity >= threshold — the
     embedding-space near-duplicate detector.
 
     n_planes = 0 is the exact O(n^2) verifier (self-join); n_planes > 0
-    buckets by hyperplane signature first and only compares within a
-    bucket (recall trades against the fan-out: near-identical vectors
-    almost always share the full signature). Scale path: bucket join is
-    an equi-join on the signature — one shuffle, no cross product."""
+    buckets by hyperplane signature and only compares within a bucket.
+    `n_tables` > 1 is the standard recall lever: L independent plane sets
+    (seed+t), a pair is a candidate if it collides in ANY table
+    (recall = 1 - (1 - p^n_planes)^L for per-plane agreement p). Scale
+    path: one explode(L) + equi-join on (table, bucket) — one shuffle,
+    no cross product; verified pairs are deduped before the exact cosine."""
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     cond = F.col("id_a") < F.col("id_b")
     if n_planes > 0:
         if dim is None:
             raise ValueError("dim required when n_planes > 0")
-        siga = hyperplane_signature("_va", dim, n_planes, seed)
-        sigb = hyperplane_signature("_vb", dim, n_planes, seed)
-        a = a.withColumn("_sig", siga)
-        b = b.withColumn("_sig", sigb)
-        joined = a.join(b, on="_sig").where(cond).drop("_sig")
+
+        def tables(col):
+            return F.posexplode(
+                F.array(
+                    *[
+                        hyperplane_signature(col, dim, n_planes, seed + t)
+                        for t in range(n_tables)
+                    ]
+                )
+            )
+
+        a = a.select("id_a", "_va", tables("_va").alias("_t", "_sig"))
+        b = b.select("id_b", "_vb", tables("_vb").alias("_t", "_sig"))
+        joined = (
+            a.join(b, on=["_t", "_sig"])
+            .where(cond)
+            .select("id_a", "id_b", "_va", "_vb")
+            .dropDuplicates(["id_a", "id_b"])
+        )
     else:
         joined = a.join(b, cond)
     sim = cosine(F.col("_va"), F.col("_vb"))
@@ -150,9 +167,16 @@ def lsh_bucketed_topk(
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
     qbits = int(sum((1 << p) for p in range(n_planes) if planes[p] @ qv > 0))
+    # probe set = every bucket within Hamming distance `multiprobe_bits`
+    from itertools import combinations
+
     probes = {qbits}
-    if multiprobe_bits >= 1:
-        probes |= {qbits ^ (1 << p) for p in range(n_planes)}
+    for depth in range(1, max(int(multiprobe_bits), 0) + 1):
+        for flips in combinations(range(n_planes), depth):
+            mask = 0
+            for p in flips:
+                mask |= 1 << p
+            probes.add(qbits ^ mask)
 
     sig = hyperplane_signature(vec_col, dim, n_planes, seed)
     candidates = df.where(sig.isin(*sorted(probes)))
