@@ -32,3 +32,55 @@ def test_stream_drain_and_resume(spark, tmp_path):
     q2.awaitTermination(300)
     total = spark.read.parquet(out).count()
     assert total == 400
+
+
+def test_cross_batch_dedup_flags_second_occurrence(spark, tmp_path):
+    """The same text in two micro-batches: kept in batch 1, flagged
+    cross_batch_duplicate (keep=false) in batch 2."""
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    pages = generate_pages(spark, 60, seed=7).select(
+        "url", "warc_ts", "html", "text", "lang"
+    ).localCheckpoint()
+    pages.write.parquet(src)
+    q = stream_quality_pipeline(spark, src, out, ckpt, n_parts=2)
+    q.awaitTermination(300)
+
+    # batch 2: same texts under NEW urls
+    clones = pages.withColumn("url", F.concat(F.lit("https://clone.example/"), F.col("url")))
+    clones.write.mode("append").parquet(src)
+    q2 = stream_quality_pipeline(spark, src, out, ckpt, n_parts=2)
+    q2.awaitTermination(300)
+
+    res = spark.read.parquet(out)
+    second = res.where(F.col("url").startswith("https://clone.example/"))
+    flagged = second.where(F.array_contains("reasons", "cross_batch_duplicate"))
+    n_hashable = second.where(F.col("content_hash").isNotNull()).count()
+    assert n_hashable > 0
+    assert flagged.count() == n_hashable
+    assert flagged.where(F.col("keep")).count() == 0
+    # batch 1 rows untouched
+    first = res.where(~F.col("url").startswith("https://clone.example/"))
+    assert first.where(F.array_contains("reasons", "cross_batch_duplicate")).count() == 0
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """Simulated replay (fresh checkpoint, same input, same output): the
+    batch_id partitions are dynamically overwritten, not appended."""
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "out")
+
+    pages = generate_pages(spark, 80, seed=3).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+    pages.write.parquet(src)
+    q = stream_quality_pipeline(spark, src, out, str(tmp_path / "ckpt1"), n_parts=2)
+    q.awaitTermination(300)
+    n1 = spark.read.parquet(out).count()
+
+    # replay: same files re-delivered as batch 0 against the same sink
+    q2 = stream_quality_pipeline(spark, src, out, str(tmp_path / "ckpt2"), n_parts=2)
+    q2.awaitTermination(300)
+    assert spark.read.parquet(out).count() == n1

@@ -4,9 +4,20 @@ The reference is pure batch (SURVEY.md §2.3: no streaming operators), and
 the keep/drop rules are row-local or bounded-scope, so streaming support
 is an ingestion-shape concern, not a new operator semantics: pages arrive
 as files (the WARC-dump pattern), each micro-batch runs the SAME
-run_quality_pipeline, and results append to the salted layout. Exactly-once
-comes from the sink's idempotent partition overwrite + Spark's streaming
-checkpoint (source offsets).
+run_quality_pipeline, and results land in the salted layout.
+
+Exactly-once: foreachBatch is at-least-once, so the sink is made
+idempotent by partitioning on batch_id and DYNAMICALLY OVERWRITING that
+batch's partitions — a replayed micro-batch (same batch_id after a crash)
+rewrites exactly its own output instead of appending duplicates; Spark's
+streaming checkpoint owns the source offsets.
+
+Cross-batch dedup: each micro-batch anti-checks its content hashes
+against the hashes already written by EARLIER batches (batch_id pruning
+keeps the lookback scan cheap: it reads one hash column of prior
+partitions only). A page whose extracted text already shipped is kept in
+the output for lineage but flagged `cross_batch_duplicate` with
+keep=false. Within-batch duplicates are handled by the pipeline itself.
 
 `trigger=availableNow` drains the backlog and stops — the incremental-
 batch mode the north rule's resumability requirement describes; leave
@@ -23,9 +34,17 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
+from titanlib_spark.flags import BAD
 from titanlib_spark.webtext.pipeline import QualityFilterConfig, run_quality_pipeline
 from titanlib_spark.webtext.schema import PAGES_SCHEMA
+
+OUT_COLS = [
+    "batch_id", "part_id", "url", "warc_ts", "host", "pred_lang",
+    "pred_lang_score", "flags", "keep", "reasons", "scrubbed_text",
+    "content_hash",
+]
 
 
 def stream_quality_pipeline(
@@ -37,13 +56,16 @@ def stream_quality_pipeline(
     n_parts: int = 64,
     available_now: bool = True,
     input_format: str = "parquet",
+    cross_batch_dedup: bool = True,
 ):
-    """readStream(pages files) -> foreachBatch(quality pipeline) -> salted
-    parquet append. Returns the StreamingQuery."""
+    """readStream(pages files) -> foreachBatch(quality pipeline +
+    cross-batch dedup) -> idempotent batch-partitioned salted parquet.
+    Returns the StreamingQuery."""
     cfg = cfg or QualityFilterConfig(
         # iterative per-host refinement is batch-scope; within a micro-batch
         # run a single outlier pass against the global background
         ppl_iterations=1,
+        keep_content_hash=True,
     )
 
     reader = spark.readStream.format(input_format)
@@ -51,21 +73,59 @@ def stream_quality_pipeline(
         reader = reader.schema(PAGES_SCHEMA)
     stream = reader.load(input_path)
 
+    def _prior_hashes(batch_id: int):
+        """Distinct content hashes written by batches < batch_id.
+        Column-pruned, partition-pruned scan of the sink itself."""
+        try:
+            prior = spark.read.parquet(output_path)
+        except AnalysisException:
+            return None
+        return (
+            prior.where(F.col("batch_id") < batch_id)
+            .select("content_hash")
+            .where(F.col("content_hash").isNotNull())
+            .distinct()
+        )
+
     def process_batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         result = run_quality_pipeline(batch_df, cfg)
+        if "content_hash" not in result.columns:
+            result = result.withColumn("content_hash", F.lit(None).cast("string"))
+        if cross_batch_dedup:
+            seen = _prior_hashes(batch_id)
+            if seen is not None:
+                hit = seen.withColumn("_seen", F.lit(True))
+                result = result.join(hit, on="content_hash", how="left")
+                is_xdup = F.coalesce(F.col("_seen"), F.lit(False))
+                result = (
+                    result.withColumn(
+                        "reasons",
+                        F.when(
+                            is_xdup,
+                            F.array_union(
+                                F.col("reasons"),
+                                F.array(F.lit("cross_batch_duplicate")),
+                            ),
+                        ).otherwise(F.col("reasons")),
+                    )
+                    .withColumn(
+                        "flags", F.when(is_xdup, F.lit(BAD)).otherwise(F.col("flags"))
+                    )
+                    .withColumn("keep", F.col("keep") & ~is_xdup)
+                    .drop("_seen")
+                )
         out = result.withColumn(
             "part_id",
             F.pmod(F.xxhash64(F.col(cfg.url_col)), F.lit(int(n_parts))).cast("int"),
         ).withColumn("batch_id", F.lit(batch_id))
         (
-            out.select(
-                "part_id", "batch_id", "url", "warc_ts", "host", "pred_lang",
-                "pred_lang_score", "flags", "keep", "reasons", "scrubbed_text",
-            )
-            .write.mode("append")
-            .partitionBy("part_id")
+            out.select(*OUT_COLS)
+            .write.mode("overwrite")
+            # replay-idempotent: rewrite ONLY this batch_id's partitions
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "part_id")
             .parquet(output_path)
         )
 

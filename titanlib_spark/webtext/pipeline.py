@@ -50,6 +50,8 @@ class QualityFilterConfig:
     # shuffles (dedup window, checkpoint, output) then carry only the
     # scrubbed text — at web scale the raw payload never crosses a shuffle
     drop_raw_text: bool = True
+    # keep the md5 content hash in the output (cross-batch dedup needs it)
+    keep_content_hash: bool = False
     # perplexity outlier stage (the SCT analogue)
     ppl_threshold: float = 6.0
     ppl_num_min: int = 10
@@ -127,7 +129,8 @@ def run_quality_pipeline(
     if cfg.drop_raw_text:
         df = df.drop(t, "html")
     df = is_duplicate(df, hash_col="content_hash")
-    df = df.drop("content_hash")
+    if not cfg.keep_content_hash:
+        df = df.drop("content_hash")
 
     rules = _rule_columns(cfg)
     reasons = F.array_compact(
