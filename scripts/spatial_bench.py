@@ -1,0 +1,182 @@
+"""Spatial-family scale bench: buddy / buddy_event / isolation / sct
+throughput at 1e5 and 1e6 stations (reference configs, constant density).
+
+The reference's own benchmark (reference tests/benchmark.py:21-53) draws
+uniform stations and its --scaling flag grows the AREA with N (rand()*s
+coords), keeping density constant — we mirror that: n stations in a
+sqrt(n/1e4)-degree box, so per-row neighborhood work stays fixed and the
+measurement is engine throughput, not quadratic blow-up.
+
+Reference single-core baselines (BASELINE.md):
+  buddy_check        1e4 obs / 0.64 s  = 15.6 k obs/s
+  buddy_event_check  1e4 obs / 0.64 s  = 15.6 k obs/s
+  isolation_check    1e4 obs / 0.57 s  = 17.5 k obs/s
+  sct                1e3 obs / 2.94 s  = 340 obs/s (1e3-density box)
+
+Usage: python scripts/spatial_bench.py [--sizes 100000,1000000] [--cpus 32]
+Appends a results block to BENCH_SCALING.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+import sys
+
+sys.path.insert(0, REPO)
+
+
+def make_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_HEAP", "48g"))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .appName("spatial_bench")
+        .getOrCreate()
+    )
+
+
+def stations(spark, n: int, density_ref_n: float = 1e4):
+    """n stations, constant reference density (1e4 per 1-degree box)."""
+    rng = np.random.default_rng(1000)
+    s = float(np.sqrt(n / density_ref_n))
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "lat": rng.random(n) * s,
+            "lon": rng.random(n) * s,
+            "elev": rng.random(n),
+            "value": rng.random(n) * 3,
+        }
+    )
+    return spark.createDataFrame(pdf).repartition(64).localCheckpoint(eager=True)
+
+
+def timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
+def run_ops(spark, n: int, ops: list[str]) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from titanlib_spark.operators.buddy_check import buddy_check
+    from titanlib_spark.operators.buddy_event_check import buddy_event_check
+    from titanlib_spark.operators.isolation_check import isolation_check
+    from titanlib_spark.operators.sct import sct
+
+    df = stations(spark, n)
+    res = {}
+    if "isolation" in ops:
+        # reference tests/benchmark.py:39
+        res["isolation_check"] = timed(
+            lambda: isolation_check(df, num_min=15, radius=3000.0)
+            .where(F.col("flags") != 0).count()
+        )
+    if "buddy" in ops:
+        # reference tests/benchmark.py:33-35
+        res["buddy_check"] = timed(
+            lambda: buddy_check(
+                df, radius=10000.0, num_min=10, threshold=0.3,
+                max_elev_diff=100.0, elev_gradient=0.0, min_std=1.0,
+                num_iterations=1,
+            ).where(F.col("flags") != 0).count()
+        )
+    if "buddy_event" in ops:
+        # reference tests/benchmark.py:36-38
+        res["buddy_event_check"] = timed(
+            lambda: buddy_event_check(
+                df, radius=10000.0, num_min=10, event_threshold=0.2,
+                threshold=0.1, max_elev_diff=100.0, num_iterations=1,
+            ).where(F.col("flags") != 0).count()
+        )
+    if "sct" in ops:
+        # reference tests/benchmark.py:40-53 (1e3-per-degree-box density)
+        sdf = stations(spark, n // 10, density_ref_n=1e3)
+        res["sct"] = (
+            timed(
+                lambda: sct(
+                    sdf, num_min=10, num_max=50, inner_radius=5000.0,
+                    outer_radius=50000.0, num_iterations=1, num_min_prof=50,
+                    min_elev_diff=100.0, min_horizontal_scale=10000.0,
+                    vertical_scale=200.0, pos=4.0, neg=4.0, eps2=0.5,
+                ).where(F.col("flags") != 0).count()
+            ),
+            n // 10,
+        )
+    return res
+
+
+REF_OBS_PER_SEC = {
+    "isolation_check": 17.5e3,
+    "buddy_check": 15.6e3,
+    "buddy_event_check": 15.6e3,
+    "sct": 340.0,
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="100000,1000000")
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--ops", default="isolation,buddy,buddy_event,sct")
+    ap.add_argument("--no-md", action="store_true")
+    args = ap.parse_args()
+
+    spark = make_spark(args.cpus)
+    ops = args.ops.split(",")
+    results = {}
+    for n in [int(x) for x in args.sizes.split(",")]:
+        r = run_ops(spark, n, ops)
+        out = {}
+        for op, v in r.items():
+            sec, rows = v if isinstance(v, tuple) else (v, n)
+            out[op] = {
+                "sec": round(sec, 2),
+                "rows": rows,
+                "rows_per_sec": round(rows / sec, 1),
+                "vs_ref_1core": round((rows / sec) / REF_OBS_PER_SEC[op], 2),
+            }
+        results[str(n)] = out
+    spark.stop()
+
+    line = {"metric": "spatial_rows_per_sec", "cpus": args.cpus, "results": results}
+    print(json.dumps(line))
+
+    if not args.no_md:
+        stamp = datetime.datetime.now().strftime("%Y-%m-%d %H:%M")
+        rows_md = []
+        for n, out in results.items():
+            for op, d in out.items():
+                rows_md.append(
+                    f"| {op} | {int(n):,} | {d['rows']:,} | {d['sec']}s "
+                    f"| {d['rows_per_sec']:,.0f} | {d['vs_ref_1core']}x |"
+                )
+        block = (
+            f"\n## Spatial-family scale bench ({stamp}, local[{args.cpus}])\n\n"
+            "Reference configs (tests/benchmark.py), constant density. "
+            "`vs ref` = our rows/s over the reference's published\n"
+            "single-core rows/s (15.6k buddy / 17.5k isolation / 340 sct).\n\n"
+            "| op | n stations | rows timed | wall | rows/s | vs ref 1-core |\n"
+            "|---|---|---|---|---|---|\n" + "\n".join(rows_md) + "\n"
+        )
+        with open(os.path.join(REPO, "BENCH_SCALING.md"), "a") as f:
+            f.write(block)
+
+
+if __name__ == "__main__":
+    main()

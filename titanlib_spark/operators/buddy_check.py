@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from titanlib_spark.flags import BAD, GOOD, apply_check_flags, ensure_flags
-from titanlib_spark.functions.geo import neighbor_pairs
+from titanlib_spark.functions.geo import undirected_neighbor_pairs
 from titanlib_spark.operators.range_check import is_invalid_value
 
 
@@ -43,35 +43,108 @@ def _buddy_stats(
     coord_type: str = "geodetic",
 ) -> DataFrame:
     """Per-id buddy count / mean / population variance (lapse-adjusted)."""
+    mirrored = _mirrored_adj_values(
+        unflagged, radius, id_col, lat_col, lon_col, value_col, elev_col,
+        max_elev_diff, elev_gradient, cell_size, coord_type,
+    )
+    return mirrored.groupBy(F.col("_d._q").alias(id_col)).agg(
+        F.count("_d._v").alias("_n_buddies"),
+        F.avg("_d._v").alias("_buddy_mean"),
+        F.var_pop("_d._v").alias("_buddy_var"),
+    )
+
+
+def _buddy_event_stats(
+    unflagged: DataFrame,
+    radius,
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+    value_col: str,
+    elev_col: str | None,
+    max_elev_diff: float,
+    elev_gradient: float,
+    event_threshold: float,
+    cell_size: float | None,
+    coord_type: str = "geodetic",
+) -> DataFrame:
+    """Per-id buddy count + count of event buddies (adj value < threshold),
+    for buddy_event_check — same undirected plan as _buddy_stats with the
+    event bit computed pre-explode."""
+    mirrored = _mirrored_adj_values(
+        unflagged, radius, id_col, lat_col, lon_col, value_col, elev_col,
+        max_elev_diff, elev_gradient, cell_size, coord_type,
+        transform=lambda adj: (adj < float(event_threshold)).cast("int"),
+    )
+    return mirrored.groupBy(F.col("_d._q").alias(id_col)).agg(
+        F.count("_d._v").alias("_n_buddies"),
+        F.sum("_d._v").alias("_n_event"),
+    )
+
+
+def _mirrored_adj_values(
+    unflagged: DataFrame,
+    radius,
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+    value_col: str,
+    elev_col: str | None,
+    max_elev_diff: float,
+    elev_gradient: float,
+    cell_size: float | None,
+    coord_type: str = "geodetic",
+    transform=None,
+) -> DataFrame:
+    """Undirected neighbor join -> per-direction lapse-adjusted values,
+    exploded as minimal (_q, _v) structs.
+
+    All per-pair math (elev filter, lapse adjustment, per-row-radius gate,
+    optional transform) happens on the UNDIRECTED pair row; downstream
+    aggregates only read struct fields — filters or arithmetic on
+    post-explode struct fields drop out of the fast path (~20x, measured).
+    A direction outside its query row's radius carries a NULL value, which
+    count()/avg()/var_pop()/sum() skip."""
     use_elev = elev_col is not None and max_elev_diff > 0
-    payload = (value_col, elev_col) if use_elev else (value_col,)
-    pairs = neighbor_pairs(
+    carry = (value_col, elev_col) if use_elev else (value_col,)
+    und, _, per_row_radius = undirected_neighbor_pairs(
         unflagged,
         radius,
         id_col=id_col,
         lat_col=lat_col,
         lon_col=lon_col,
-        payload_cols=payload,
+        carry_cols=carry,
         include_self=False,
         cell_size=cell_size,
         coord_type=coord_type,
     )
     if use_elev:
-        own = unflagged.select(F.col(id_col), F.col(elev_col).alias("_own_elev"))
-        pairs = pairs.join(own, on=id_col)
-        pairs = pairs.where(
-            F.abs(F.col(f"n_{elev_col}") - F.col("_own_elev")) <= float(max_elev_diff)
-        ).withColumn(
-            "_adj_value",
-            F.col(f"n_{value_col}")
-            + (F.col("_own_elev") - F.col(f"n_{elev_col}")) * F.lit(float(elev_gradient)),
+        und = und.where(
+            F.abs(F.col(f"_pa_{elev_col}") - F.col(f"_pb_{elev_col}"))
+            <= float(max_elev_diff)
         )
+        # direction a<-b: b's value lapse-adjusted to a's elevation
+        adj_ab = F.col(f"_pb_{value_col}") + (
+            F.col(f"_pa_{elev_col}") - F.col(f"_pb_{elev_col}")
+        ) * F.lit(float(elev_gradient))
+        adj_ba = F.col(f"_pa_{value_col}") + (
+            F.col(f"_pb_{elev_col}") - F.col(f"_pa_{elev_col}")
+        ) * F.lit(float(elev_gradient))
     else:
-        pairs = pairs.withColumn("_adj_value", F.col(f"n_{value_col}"))
-    return pairs.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("_n_buddies"),
-        F.avg("_adj_value").alias("_buddy_mean"),
-        F.var_pop("_adj_value").alias("_buddy_var"),
+        adj_ab = F.col(f"_pb_{value_col}")
+        adj_ba = F.col(f"_pa_{value_col}")
+    if transform is not None:
+        adj_ab, adj_ba = transform(adj_ab), transform(adj_ba)
+    if per_row_radius:
+        adj_ab = F.when(F.col("dist") <= F.col("_ra"), adj_ab)
+        adj_ba = F.when(F.col("dist") <= F.col("_rb"), adj_ba)
+    return und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("_ida").alias("_q"), adj_ab.alias("_v")),
+                F.struct(F.col("_idb").alias("_q"), adj_ba.alias("_v")),
+            )
+        ).alias("_d")
     )
 
 

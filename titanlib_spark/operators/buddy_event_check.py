@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from titanlib_spark.flags import BAD, GOOD, apply_check_flags, ensure_flags
-from titanlib_spark.functions.geo import neighbor_pairs
+from titanlib_spark.operators.buddy_check import _buddy_event_stats
 from titanlib_spark.operators.range_check import is_invalid_value
 
 
@@ -53,35 +53,10 @@ def buddy_event_check(
     prev_bad = df.where(F.col(flag_col) != GOOD).count()
     for _ in range(int(num_iterations)):
         unflagged = df.where(F.col(flag_col) == GOOD)
-        payload = (value_col, elev_col) if use_elev else (value_col,)
-        pairs = neighbor_pairs(
-            unflagged,
-            radius,
-            id_col=id_col,
-            lat_col=lat_col,
-            lon_col=lon_col,
-            payload_cols=payload,
-            include_self=False,
-            cell_size=cell_size,
-            coord_type=coord_type,
-        )
-        if use_elev:
-            own = unflagged.select(F.col(id_col), F.col(elev_col).alias("_own_elev"))
-            pairs = pairs.join(own, on=id_col)
-            pairs = pairs.where(
-                F.abs(F.col(f"n_{elev_col}") - F.col("_own_elev")) <= float(max_elev_diff)
-            ).withColumn(
-                "_adj_value",
-                F.col(f"n_{value_col}")
-                + (F.col("_own_elev") - F.col(f"n_{elev_col}")) * F.lit(float(elev_gradient)),
-            )
-        else:
-            pairs = pairs.withColumn("_adj_value", F.col(f"n_{value_col}"))
-        stats = pairs.groupBy(id_col).agg(
-            F.count(F.lit(1)).alias("_n_buddies"),
-            F.sum(
-                (F.col("_adj_value") < float(event_threshold)).cast("int")
-            ).alias("_n_event"),
+        stats = _buddy_event_stats(
+            unflagged, radius, id_col, lat_col, lon_col, value_col,
+            elev_col if use_elev else None, max_elev_diff, elev_gradient,
+            float(event_threshold), cell_size, coord_type,
         )
         joined = df.join(stats, on=id_col, how="left")
         is_event = F.col(value_col) < float(event_threshold)

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from titanlib_spark.flags import BAD, GOOD, apply_check_flags
-from titanlib_spark.functions.geo import neighbor_pairs
+from titanlib_spark.functions.geo import undirected_neighbor_pairs
 from titanlib_spark.operators.range_check import is_invalid_value
 
 
@@ -37,32 +37,44 @@ def isolation_check(
     elev_col: str = "elev",
     flag_col: str = "flags",
     coord_type: str = "geodetic",
+    cell_size: float | None = None,
 ) -> DataFrame:
     bad_coord = is_invalid_value(F.col(lat_col)) | is_invalid_value(F.col(lon_col))
     if vertical_radius is not None:
         bad_coord = bad_coord | is_invalid_value(F.col(elev_col))
 
     located = df.where(~(is_invalid_value(F.col(lat_col)) | is_invalid_value(F.col(lon_col))))
-    payload = (elev_col,) if vertical_radius is not None else ()
-    pairs = neighbor_pairs(
+    carry = (elev_col,) if vertical_radius is not None else ()
+    und, _, per_row_radius = undirected_neighbor_pairs(
         located,
         radius,
         id_col=id_col,
         lat_col=lat_col,
         lon_col=lon_col,
-        payload_cols=payload,
+        carry_cols=carry,
         include_self=False,
         coord_type=coord_type,
+        cell_size=cell_size,
     )
     if vertical_radius is not None:
-        # join the query row's own elev back in via the pair's query id
-        own = located.select(F.col(id_col), F.col(elev_col).alias("_own_elev"))
-        pairs = pairs.join(own, on=id_col)
-        pairs = pairs.where(
-            (~is_invalid_value(F.col(f"n_{elev_col}")))
-            & (F.abs(F.col(f"n_{elev_col}") - F.col("_own_elev")) <= float(vertical_radius))
+        # symmetric vertical gate on the UNDIRECTED row: if either elev is
+        # invalid the |diff| comparison is false and the pair drops for
+        # BOTH directions — exactly the reference's exclusion (an
+        # invalid-elev row is flagged by bad_coord regardless)
+        und = und.where(
+            F.abs(F.col(f"_pa_{elev_col}") - F.col(f"_pb_{elev_col}"))
+            <= float(vertical_radius)
         )
-    counts = pairs.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_neigh"))
+    ida, idb = F.col("_ida"), F.col("_idb")
+    if per_row_radius:
+        # a direction only counts within ITS query row's radius; NULL ids
+        # are dropped before the count
+        ida = F.when(F.col("dist") <= F.col("_ra"), ida)
+        idb = F.when(F.col("dist") <= F.col("_rb"), idb)
+    counted = und.select(F.explode(F.array(ida, idb)).alias(id_col)).where(
+        F.col(id_col).isNotNull()
+    )
+    counts = counted.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_neigh"))
 
     out = df.join(counts, on=id_col, how="left").withColumn(
         "_n_neigh", F.coalesce(F.col("_n_neigh"), F.lit(0))
