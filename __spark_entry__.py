@@ -313,6 +313,19 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB dedup composition: exact n-gram Jaccard verified ONLY on
+    MinHash-LSH candidate pairs (md5 hash mode -> full DuckDB value
+    oracle over signatures, bands, candidates and the exact verify)."""
+    from titanlib_spark.textops.dedup import ngram_jaccard_pairs_lsh
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_lsh(
+        d, id_col="doc_id", text_col="text", n=3, threshold=0.2, hash_fn="md5"
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 _QUERY_VEC = [round(math.sin(i + 1), 4) for i in range(64)]
 
 
@@ -460,6 +473,17 @@ def q_knn_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("id").alias("c_custkey"), "n_neighbors", "avg_neighbor_value")
     )
+
+
+def q_dup_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-parity greedy spatial dedup (first-wins in id order,
+    src/duplicate_check.cpp:24-49); the DuckDB oracle replays the exact
+    greedy scan with a recursive CTE over the same chord metric."""
+    from titanlib_spark.operators import duplicate_check_spatial
+
+    geo = _customer_geo(spark, sf_dir)
+    out = duplicate_check_spatial(geo, radius=800.0)
+    return out.select(F.col("id").alias("c_custkey"), F.col("flags").alias("qc_flag"))
 
 
 def q_interpolate_to_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -720,6 +744,44 @@ SELECT id AS c_custkey, count(*) AS n_neighbors,
        round(avg(n_value), 6) AS avg_neighbor_value
 FROM ranked WHERE rnk <= 5
 GROUP BY id
+"""
+
+    # greedy first-wins spatial dedup: sequential scan in id order, a row
+    # is a duplicate iff within `radius` (chord metric) of an already-KEPT
+    # row — replayed exactly with a recursive CTE carrying the kept set
+    sql["dup_spatial"] = f"""
+WITH RECURSIVE {_GEO_SQL.strip().rstrip()},
+seq AS (
+  SELECT id, x, y, z, row_number() OVER (ORDER BY id) AS rn FROM pts
+),
+scan AS (
+  SELECT 0::BIGINT AS rn,
+         []::DOUBLE[] AS kx, []::DOUBLE[] AS ky, []::DOUBLE[] AS kz,
+         []::BIGINT[] AS kept_ids
+  UNION ALL
+  SELECT p.rn,
+         CASE WHEN len(list_filter(range(1, len(s.kx) + 1),
+                i -> (s.kx[i]-p.x)*(s.kx[i]-p.x) + (s.ky[i]-p.y)*(s.ky[i]-p.y)
+                     + (s.kz[i]-p.z)*(s.kz[i]-p.z) <= 640000.0)) > 0
+              THEN s.kx ELSE list_append(s.kx, p.x) END,
+         CASE WHEN len(list_filter(range(1, len(s.kx) + 1),
+                i -> (s.kx[i]-p.x)*(s.kx[i]-p.x) + (s.ky[i]-p.y)*(s.ky[i]-p.y)
+                     + (s.kz[i]-p.z)*(s.kz[i]-p.z) <= 640000.0)) > 0
+              THEN s.ky ELSE list_append(s.ky, p.y) END,
+         CASE WHEN len(list_filter(range(1, len(s.kx) + 1),
+                i -> (s.kx[i]-p.x)*(s.kx[i]-p.x) + (s.ky[i]-p.y)*(s.ky[i]-p.y)
+                     + (s.kz[i]-p.z)*(s.kz[i]-p.z) <= 640000.0)) > 0
+              THEN s.kz ELSE list_append(s.kz, p.z) END,
+         CASE WHEN len(list_filter(range(1, len(s.kx) + 1),
+                i -> (s.kx[i]-p.x)*(s.kx[i]-p.x) + (s.ky[i]-p.y)*(s.ky[i]-p.y)
+                     + (s.kz[i]-p.z)*(s.kz[i]-p.z) <= 640000.0)) > 0
+              THEN s.kept_ids ELSE list_append(s.kept_ids, p.id) END
+  FROM scan s JOIN seq p ON p.rn = s.rn + 1
+),
+final AS (SELECT kept_ids FROM scan ORDER BY rn DESC LIMIT 1)
+SELECT g.id AS c_custkey,
+       CASE WHEN list_contains(f.kept_ids, g.id) THEN 0 ELSE 1 END AS qc_flag
+FROM geo g, final f
 """
 
     sql["interpolate_to_points"] = f"""
@@ -1206,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sct": q_sct,
         "sct_dual": q_sct_dual,
         "sct_resistant": q_sct_resistant,
+        "dup_spatial": q_dup_spatial,
         "interpolate_to_points": q_interpolate_to_points,
         "knn_avg": q_knn_avg,
     }

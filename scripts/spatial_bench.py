@@ -66,9 +66,15 @@ def stations(spark, n: int, density_ref_n: float = 1e4):
 
 
 def timed(fn) -> float:
-    t0 = time.time()
-    fn()
-    return time.time() - t0
+    """Best-of-2: the first run pays one-time JVM JIT/codegen that a
+    long-lived cluster amortizes; steady-state is the comparable number
+    (same policy as the webtext bench in bench.py)."""
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return best
 
 
 def run_ops(spark, n: int, ops: list[str]) -> dict[str, float]:

@@ -40,3 +40,57 @@ def test_monotone_flags_never_unset(spark):
     ds = ds.apply("r2", lambda d: range_check(d, 0.0, 1000.0))
     flags = {r.id: r.flags for r in ds.df.collect()}
     assert flags == {0: BAD, 1: GOOD}
+
+
+def test_indices_restricted_merge(spark):
+    """reference tests/dataset_test.py:25-31 + :43-46: the check runs over
+    the full network but only `indices` rows may receive new flags."""
+    from titanlib_spark.operators import range_check
+
+    rows = [(i, 0.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "id long, value double")
+    ds = QCDataset(df)
+
+    def rc(frame):
+        return range_check(frame, -100.0, -100.0)
+
+    ds1 = ds.apply("range[0,1,2]", rc, indices=[0, 1, 2])
+    flags1 = {r.id: r.flags for r in ds1.flags().collect()}
+    assert [flags1[i] for i in range(5)] == [1, 1, 1, 0, 0]
+
+    ds2 = ds1.apply("range[1,2,4]", rc, indices=[1, 2, 4])
+    flags2 = {r.id: r.flags for r in ds2.flags().collect()}
+    assert [flags2[i] for i in range(5)] == [1, 1, 1, 0, 1]
+
+    # empty indices: nothing changes (dataset_test.py:43-46)
+    ds3 = ds.apply("range[]", rc, indices=[])
+    flags3 = {r.id: r.flags for r in ds3.flags().collect()}
+    assert [flags3[i] for i in range(5)] == [0, 0, 0, 0, 0]
+
+    # DataFrame-typed indices behave like the list form
+    idx_df = spark.createDataFrame([(0,), (4,)], "id long")
+    ds4 = ds.apply("range[df]", rc, indices=idx_df)
+    flags4 = {r.id: r.flags for r in ds4.flags().collect()}
+    assert [flags4[i] for i in range(5)] == [1, 0, 0, 0, 1]
+
+
+def test_calc_distance_fast_matches_reference_formula(spark):
+    """reference src/kdtree.cpp:185-203 equirectangular approximation."""
+    import math
+
+    from titanlib_spark.functions.geo import calc_distance_fast
+
+    df = spark.createDataFrame(
+        [(60.0, 10.0, 60.1, 10.2), (0.0, 0.0, 1.0, 1.0)],
+        "lat1 double, lon1 double, lat2 double, lon2 double",
+    )
+    got = df.select(
+        calc_distance_fast(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("d")
+    ).collect()
+    for row, (lat1, lon1, lat2, lon2) in zip(got, [(60.0, 10.0, 60.1, 10.2), (0.0, 0.0, 1.0, 1.0)]):
+        lat1r, lat2r = math.radians(lat1), math.radians(lat2)
+        lon1r, lon2r = math.radians(lon1), math.radians(lon2)
+        dx2 = math.cos((lat1r + lat2r) / 2) ** 2 * (lon1r - lon2r) ** 2
+        dy2 = (lat1r - lat2r) ** 2
+        want = 6.37e6 * math.sqrt(dx2 + dy2)
+        assert abs(row.d - want) < 1e-6

@@ -90,6 +90,25 @@ def great_circle_dist(
     return F.acos(ratio) * F.lit(6.378137e6)
 
 
+def calc_distance_fast(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column,
+    coord_type: str = "geodetic",
+) -> Column:
+    """Equirectangular approximate distance (reference calc_distance_fast,
+    src/kdtree.cpp:185-203, R=radius_earth=6.37e6) — the cheap pre-filter
+    before exact great-circle math; cartesian mode = plain euclidean."""
+    if coord_type == "cartesian":
+        dx = lon1 - lon2
+        dy = lat1 - lat2
+        return F.sqrt(dx * dx + dy * dy)
+    lat1r, lat2r = F.radians(lat1), F.radians(lat2)
+    lon1r, lon2r = F.radians(lon1), F.radians(lon2)
+    cosm = F.cos((lat1r + lat2r) / 2)
+    dx2 = cosm * cosm * (lon1r - lon2r) * (lon1r - lon2r)
+    dy2 = (lat1r - lat2r) * (lat1r - lat2r)
+    return F.lit(EARTH_RADIUS) * F.sqrt(dx2 + dy2)
+
+
 def _cell_cols(x: Column, y: Column, z: Column, cell_size: float) -> list[Column]:
     return [
         F.floor(x / F.lit(float(cell_size))).cast("int").alias("_cx"),
