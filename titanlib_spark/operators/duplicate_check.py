@@ -46,11 +46,15 @@ def duplicate_check_exact(
     return out.drop("_rn")
 
 
-def _components(pairs: DataFrame, id_col: str, max_rounds: int = 20) -> DataFrame:
-    """Connected components by min-id label propagation.
+def _components(pairs: DataFrame, id_col: str, max_rounds: int = 25) -> DataFrame:
+    """Connected components by min-id label propagation WITH pointer
+    jumping (follow the label's own label each round), so convergence is
+    O(log diameter) even for long chains — plain one-hop propagation needs
+    `diameter` rounds and silently mislabels anything further than
+    max_rounds hops from its component's minimum.
 
-    Returns (id, comp). Converges in O(log diameter) rounds; duplicate
-    chains are short in practice so the driver loop exits quickly.
+    Returns (id, comp). Raises if not converged within max_rounds
+    (2^25 diameter bound — a loud failure beats a silently wrong dedup).
     """
     edges = pairs.select(
         F.col(id_col).alias("src"), F.col(f"n_{id_col}").alias("dst")
@@ -65,11 +69,22 @@ def _components(pairs: DataFrame, id_col: str, max_rounds: int = 20) -> DataFram
             .agg(F.min("comp").alias("_nc"))
             .withColumnRenamed("dst", "src")
         )
-        new_labels = (
+        hop = (
             labels.join(neigh_min, on="src", how="left")
             .select(
                 "src",
                 F.least(F.col("comp"), F.coalesce(F.col("_nc"), F.col("comp"))).alias("comp"),
+            )
+        )
+        # pointer jump: comp <- label(comp); halves chain distances per round
+        jump_map = hop.select(
+            F.col("src").alias("comp"), F.col("comp").alias("_cc")
+        )
+        new_labels = (
+            hop.join(jump_map, on="comp", how="left")
+            .select(
+                "src",
+                F.least(F.col("comp"), F.coalesce(F.col("_cc"), F.col("comp"))).alias("comp"),
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
@@ -82,6 +97,10 @@ def _components(pairs: DataFrame, id_col: str, max_rounds: int = 20) -> DataFram
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} rounds"
+        )
     return labels.withColumnRenamed("src", id_col)
 
 
