@@ -313,6 +313,50 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _doc_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media overlay on `documents`: the text bytes act as an
+    opaque payload; metadata derives from doc_id (multimodal columns are
+    binary + typed metadata, textops/multimodal.py design rules)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+        (F.lit(16) + F.col("doc_id") % 48).cast("int").alias("width"),
+        (F.lit(16) + (F.col("doc_id") * 7) % 48).cast("int").alias("height"),
+        (F.lit(1.0) + (F.col("doc_id") % 9).cast("double")).alias("duration_s"),
+    )
+
+
+def q_multimodal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JVM-side multimodal plumbing (resize spec + frame sampling) —
+    pure Catalyst, fully value-oracled. The decode kernel itself is the
+    documented deployment stub (see q_multimodal_features)."""
+    from titanlib_spark.textops.multimodal import frame_sample, resize_spec
+
+    m = _doc_media(spark, sf_dir)
+    sized = resize_spec(m, max_side=32)
+    frames = frame_sample(sized, every_s=2.0)
+    return frames.select(
+        "media_id", "target_width", "target_height",
+        F.round("frame_ts", 3).alias("frame_ts"),
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode->pool plumbing over the opaque payload (the
+    decode kernel is a deterministic fake — rows-only check: the feature
+    values have no SQL twin, but shape/batching/pruning are exercised)."""
+    from titanlib_spark.textops.multimodal import image_features
+
+    m = _doc_media(spark, sf_dir)
+    out = image_features(m, out_dim=8)
+    return out.select(
+        "media_id",
+        F.size("feature").alias("feature_dim"),
+    ).orderBy("media_id")
+
+
 def q_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB dedup composition: exact n-gram Jaccard verified ONLY on
     MinHash-LSH candidate pairs (md5 hash mode -> full DuckDB value
@@ -744,6 +788,27 @@ SELECT id AS c_custkey, count(*) AS n_neighbors,
        round(avg(n_value), 6) AS avg_neighbor_value
 FROM ranked WHERE rnk <= 5
 GROUP BY id
+"""
+
+    sql["multimodal_plan"] = """
+WITH base AS (
+  SELECT doc_id AS media_id,
+         (16 + doc_id % 48)::INT AS w,
+         (16 + (doc_id * 7) % 48)::INT AS h,
+         1.0 + (doc_id % 9) AS duration
+  FROM documents
+),
+sized AS (
+  SELECT media_id, w, h, duration,
+         CAST(ceil(w * least(32.0 / greatest(w, h), 1.0)) AS BIGINT) AS target_width,
+         CAST(ceil(h * least(32.0 / greatest(w, h), 1.0)) AS BIGINT) AS target_height,
+         greatest(CAST(floor(duration / 2.0) AS INT), 1) AS n_frames
+  FROM base
+)
+SELECT media_id, target_width, target_height,
+       round(i * 2.0, 3) AS frame_ts
+FROM sized, (SELECT unnest(range(0, 1000)) AS i) idx
+WHERE i < n_frames
 """
 
     # greedy first-wins spatial dedup: sequential scan in id order, a row
@@ -1269,6 +1334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sct_dual": q_sct_dual,
         "sct_resistant": q_sct_resistant,
         "dup_spatial": q_dup_spatial,
+        "multimodal_plan": q_multimodal_plan,
+        "multimodal_features": q_multimodal_features,
         "interpolate_to_points": q_interpolate_to_points,
         "knn_avg": q_knn_avg,
     }

@@ -44,7 +44,10 @@ HEADLINE = [
     "wt_quality_features",
     "wt_scrub",
     "wt_pipeline",
-    "ngram_jaccard",
+    # the 100 TB dedup composition (LSH-gated exact verify) — the unbounded
+    # exact ngram_jaccard stays as the sf<=0.01 oracle verifier only
+    "ngram_jaccard_lsh",
+    "embedding_near_dups",
     "ann_topk",
 ]
 

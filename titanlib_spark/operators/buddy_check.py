@@ -151,11 +151,11 @@ def _mirrored_adj_values(
 def buddy_check(
     df: DataFrame,
     radius,
-    num_min: int,
-    threshold: float,
+    num_min: int | str,
+    threshold: float | str,
     max_elev_diff: float = -1.0,
     elev_gradient: float = -0.0065,
-    min_std: float = 1.0,
+    min_std: float | str = 1.0,
     num_iterations: int = 1,
     obs_to_check: str | None = None,
     id_col: str = "id",
@@ -194,15 +194,18 @@ def buddy_check(
             coord_type,
         )
         joined = df.join(stats, on=id_col, how="left")
+        # num_min / threshold / min_std accept a scalar or a per-row column
+        # name (reference length-N vector convention, src/buddy_check.cpp:32-41)
+        _pcol = lambda v, cast: F.col(v) if isinstance(v, str) else F.lit(cast(v))
         std_adj = F.greatest(
             F.sqrt(F.col("_buddy_var") + F.col("_buddy_var") / F.col("_n_buddies")),
-            F.lit(float(min_std)),
+            _pcol(min_std, float),
         )
         z = F.abs(F.col(value_col) - F.col("_buddy_mean")) / std_adj
         verdict = (
             F.col("_n_buddies").isNotNull()
-            & (F.col("_n_buddies") >= int(num_min))
-            & (z > float(threshold))
+            & (F.col("_n_buddies") >= _pcol(num_min, int))
+            & (z > _pcol(threshold, float))
         )
         if obs_to_check is not None:
             verdict = verdict & (F.col(obs_to_check) == 1)
