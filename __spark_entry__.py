@@ -99,6 +99,35 @@ pts AS (
 )
 """
 
+# SQL twin of _sct_pairs_geo (same integer arithmetic, same literal sums).
+_SCT_PAIRS_SQL = """
+idx AS (
+  SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) - 1 AS i
+  FROM customer
+),
+st AS (
+  SELECT c_custkey, i, i // 2 AS p, i % 2 AS m, (i // 2) % 10 AS cse,
+         -30.0 + ((i // 2) % 40) * 1.5
+           + (i % 2) * (CASE WHEN (i // 2) % 10 = 3 THEN 0.0
+                             WHEN (i // 2) % 10 = 7 THEN 0.25
+                             ELSE 0.02 END) AS lat,
+         -100.0 + ((i // 2) // 40) * 2.0
+           + (i % 2) * (CASE WHEN (i // 2) % 10 = 3 THEN 0.7 ELSE 0.0 END) AS lon,
+         ((i // 2) * 37 % 97) * 1.5 + (i % 2) * ((i // 2) * 53 % 140) AS elev,
+         (CAST(c_custkey AS BIGINT) * c_custkey * 2654435761 + 12345)
+           % 1000000 % 1000 / CAST(50.0 AS DOUBLE) AS value,
+         1.0 + (i % 4) * 0.25 AS pos_t,
+         1.1 + (i % 3) * 0.3 AS neg_t,
+         2.0 + (i % 3) * 1.0 AS tpos_t,
+         2.5 + (i % 2) * 1.5 AS tneg_t,
+         0.5 + (i % 5) * 1.5 AS tdual_t
+  FROM idx WHERE i < 400
+),
+pr AS (
+  SELECT t.*, o.value AS v_o, o.lat AS lat_o, o.lon AS lon_o, o.elev AS elev_o
+  FROM st t JOIN st o ON o.p = t.p AND o.m = 1 - t.m
+)"""
+
 
 def _pairs_sql(radius: float) -> str:
     r2 = float(radius) * float(radius)
@@ -468,7 +497,90 @@ def q_lag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.round("filtered", 6).alias("filtered"))
 
 
+def _sct_pairs_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isolated station PAIRS for the SCT-family value oracles.
+
+    For a 2-point neighborhood the OI algebra (S = [[c,r],[r,c]], c=1+eps2)
+    inverts in closed form, so DuckDB can reproduce the full sct /
+    sct_resistant / sct_dual verdict chain exactly. Pairs sit on a
+    1.5 deg x 2 deg grid (>=138 km apart, far beyond outer_radius=50 km);
+    within a pair the second member is
+
+      * 0.02 deg lat away (2.2 km, deep inner) for the normal case,
+      * 0.25 deg lat away (27.8 km: outer but NOT inner -> isolated-inner)
+        when pair_idx % 10 == 7,
+      * 0.7 deg lon away (>=60 km: beyond outer -> isolated-outer)
+        when pair_idx % 10 == 3.
+
+    `obs` marks only the even member as testable so the reference's
+    worst-offender-per-circle rule (a tie between the two symmetric
+    residuals) never depends on intra-group row order. All values derive
+    from c_custkey by exact integer arithmetic; lat/lon/elev sums are
+    exact-decimal so both engines see bit-identical doubles."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    w = Window.orderBy("c_custkey")
+    b = c.withColumn("i", F.row_number().over(w) - 1).where(F.col("i") < 400)
+    i = F.col("i")
+    p = F.expr("i div 2")
+    m = i % 2
+    cse = p % 10
+    dlat = (
+        F.when(cse == 3, F.lit(0.0)).when(cse == 7, F.lit(0.25)).otherwise(F.lit(0.02))
+    )
+    dlon = F.when(cse == 3, F.lit(0.7)).otherwise(F.lit(0.0))
+    # quadratic in custkey so within-pair value diffs vary pair to pair
+    # (an affine hash gives constant consecutive-key differences)
+    h = (
+        F.col("c_custkey").cast("bigint") * F.col("c_custkey") * 2654435761
+        + 12345
+    ) % 1000000
+    return b.select(
+        F.col("c_custkey").cast("bigint").alias("id"),
+        i.alias("i"),
+        m.alias("m"),
+        cse.alias("cse"),
+        (F.lit(-30.0) + (p % 40) * F.lit(1.5) + m * dlat).alias("lat"),
+        (F.lit(-100.0) + F.expr("(i div 2) div 40") * F.lit(2.0) + m * dlon).alias("lon"),
+        (((p * 37) % 97) * F.lit(1.5) + m * ((p * 53) % 140)).alias("elev"),
+        (((h % 1000000) % 1000) / F.lit(50.0)).alias("value"),
+        (F.lit(1) - m).alias("obs"),
+        (F.lit(1.0) + (i % 4) * F.lit(0.25)).alias("pos_t"),
+        (F.lit(1.1) + (i % 3) * F.lit(0.3)).alias("neg_t"),
+        (F.lit(2.0) + (i % 3) * F.lit(1.0)).alias("tpos_t"),
+        (F.lit(2.5) + (i % 2) * F.lit(1.5)).alias("tneg_t"),
+        (F.lit(0.5) + (i % 5) * F.lit(1.5)).alias("tdual_t"),
+    )
+
+
 def q_sct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCT on isolated pairs: full OI chain (mean background, Gaussian S,
+    inversion, cvres/ares/sig2o/pog, per-row pos/neg thresholds) with a
+    closed-form DuckDB twin. Reference src/sct.cpp:120-306."""
+    geo = _sct_pairs_geo(spark, sf_dir)
+    out = sct(
+        geo,
+        num_min=2,
+        num_max=10,
+        inner_radius=20000.0,
+        outer_radius=50000.0,
+        num_iterations=1,
+        min_horizontal_scale=10000.0,
+        vertical_scale=200.0,
+        pos="pos_t",
+        neg="neg_t",
+        eps2=0.5,
+    )
+    pog = F.col("prob_gross_error")
+    return out.select(
+        F.col("id").alias("c_custkey"),
+        F.col("flags").alias("qc_flag"),
+        F.round(F.when(F.isnan(pog), F.lit(None)).otherwise(pog), 4).alias("pog"),
+    )
+
+
+def q_sct_general(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense multi-neighbor configuration (rows-only: n x n OI inversion
+    has no SQL twin; unit goldens in tests/test_sct_golden.py cover it)."""
     geo = _customer_geo(spark, sf_dir)
     out = sct(
         geo,
@@ -485,6 +597,32 @@ def q_sct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sct_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCT-dual on isolated pairs: event split, per-class 1x1 inversions,
+    cross-class information content z = cross*ln(cross/own), w_idiv_min
+    gate, isolated-outer flag 12 — all with a closed-form DuckDB twin.
+    Reference src/sct_dual.cpp:25-1014."""
+    geo = _sct_pairs_geo(spark, sf_dir)
+    out = sct_dual(
+        geo,
+        event_threshold=5.0,
+        condition="Gt",
+        test_threshold="tdual_t",
+        outer_radius=50000.0,
+        num_min_outer=2,
+        num_max_outer=10,
+        num_iterations=10,
+        min_horizontal_scale=250.0,
+        max_horizontal_scale=100000.0,
+        kth_closest=10,
+        vertical_scale=200.0,
+        accept_isolated=False,
+        obs_to_check="obs",
+    )
+    return out.select(F.col("id").alias("c_custkey"), F.col("flags").alias("qc_flag"))
+
+
+def q_sct_dual_general(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense multi-neighbor configuration (rows-only; unit tests cover)."""
     geo = _customer_geo(spark, sf_dir)
     out = sct_dual(
         geo,
@@ -547,6 +685,43 @@ def q_interpolate_to_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sct_resistant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCT-resistant on isolated pairs: three-phase state machine, mean
+    background, closed-form 2x2 OI, chi = sqrt((yo-ya)(yo-yav)), basic-mode
+    z, per-row tpos/tneg, isolated flags 11/12 (accept_isolated=False) —
+    all with a DuckDB twin. Reference src/sct_resistant.cpp:26-1062."""
+    from titanlib_spark.operators import sct_resistant
+
+    geo = _sct_pairs_geo(spark, sf_dir)
+    out = sct_resistant(
+        geo,
+        background_elab_type="mean_outer_circle",
+        num_min_outer=2,
+        num_max_outer=10,
+        inner_radius=20000.0,
+        outer_radius=50000.0,
+        num_iterations=10,
+        min_horizontal_scale=250.0,
+        max_horizontal_scale=100000.0,
+        kth_closest=2,
+        vertical_scale=200.0,
+        eps2=0.5,
+        tpos="tpos_t",
+        tneg="tneg_t",
+        basic=True,
+        accept_isolated=False,
+        obs_to_check="obs",
+    )
+    sc = F.col("score")
+    return out.select(
+        F.col("id").alias("c_custkey"),
+        F.col("flags").alias("qc_flag"),
+        F.round(F.when(F.isnan(sc), F.lit(None)).otherwise(sc), 4).alias("score"),
+    )
+
+
+def q_sct_resistant_general(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense multi-neighbor configuration (rows-only; seeded-error unit
+    tests in tests/test_sct_resistant.py cover it)."""
     from titanlib_spark.operators import sct_resistant
 
     geo = _customer_geo(spark, sf_dir)
@@ -1187,6 +1362,152 @@ SELECT d.doc_id, coalesce(fp.simhash60, 0) AS simhash60
 FROM documents d LEFT JOIN fp USING (doc_id)
 """
 
+    # --- SCT family: isolated-pair closed-form OI (see _sct_pairs_geo) ----
+    # For a 2-station neighborhood S = [[c, r], [r, c]] (c = 1 + eps2) the
+    # inverse is [[c, -r], [-r, c]] / (c^2 - r^2), so every step of the
+    # reference chain (innovation, analysis/cv residuals, sig2o, pog, chi,
+    # information content) is plain arithmetic. Dh clamps make D/Dh == 1
+    # exactly wherever acos precision would matter; remaining engine noise
+    # is ~1e-10 against decision margins >= 1e-3 and round(x, 4) outputs.
+    # Lag-reduction filter: first-order recurrence, n=2 sub-steps unrolled
+    # (a=b=0.5, k1=k2=0.25 -> 1/(a*k1+b*k2)=4.0, (k1+k2)=0.5, k1*k2=0.0625,
+    # dt=0.5, dt/2=0.25 — all exact binary, so the recursive CTE mirrors
+    # titanlib_spark/operators/lag_filter.py:_lag_filter_np op-for-op and
+    # the doubles are bit-identical across engines).
+    sql["lag_filter"] = """
+WITH RECURSIVE d AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch(ts)) AS rn,
+         epoch(ts) AS t, value AS v
+  FROM events
+),
+rec AS (
+  SELECT user_id, event_id, rn, t, v, v AS curr FROM d WHERE rn = 1
+  UNION ALL
+  SELECT user_id, event_id, rn, t, v,
+         curr1 + 0.25 * (4.0 * (base + 0.0625 * (fib - curr1))
+                       + 4.0 * (base + 0.0625 * ((f0 + 1.5 * g) - curr1))) AS curr
+  FROM (
+    SELECT *, curr0 + 0.25 * (4.0 * (base + 0.0625 * (fia - curr0))
+                            + 4.0 * (base + 0.0625 * (fib - curr0))) AS curr1
+    FROM (
+      SELECT n.user_id, n.event_id, n.rn, n.t, n.v,
+             r.v AS f0, (n.v - r.v) AS g,
+             0.5 * ((n.v - r.v) / (n.t - r.t)) AS base,
+             (r.v + 0.5 * (n.v - r.v)) AS fia,
+             (r.v + 1.0 * (n.v - r.v)) AS fib,
+             r.curr AS curr0
+      FROM rec r JOIN d n ON n.user_id = r.user_id AND n.rn = r.rn + 1
+    ) s1
+  ) s2
+)
+SELECT event_id, round(curr, 6) AS filtered FROM rec
+"""
+
+    sql["sct"] = f"""
+WITH {_SCT_PAIRS_SQL},
+pgeo AS (
+  SELECT *,
+    abs(elev - elev_o) AS dz,
+    value - (value + v_o) / 2.0 AS d1,
+    v_o - (value + v_o) / 2.0 AS d2,
+    acos(least(1.0, greatest(-1.0,
+      cos(radians(lat)) * cos(radians(lat_o)) * cos(radians(lon) - radians(lon_o))
+      + sin(radians(lat)) * sin(radians(lat_o))))) * 6378137.0 AS dist
+  FROM pr
+),
+k AS (
+  SELECT *,
+    exp(-0.5 * ((dist / greatest(dist, 10000.0)) * (dist / greatest(dist, 10000.0)))
+        - 0.5 * ((dz / 200.0) * (dz / 200.0))) AS rr
+  FROM pgeo
+),
+oi AS (
+  SELECT *,
+    (1.5 * d1 - rr * d2) / (2.25 - rr * rr) AS sd1,
+    (1.5 * d2 - rr * d1) / (2.25 - rr * rr) AS sd2
+  FROM k
+),
+res AS (
+  SELECT *,
+    (sd1 + rr * sd2) - d1 AS ares1,
+    (sd2 + rr * sd1) - d2 AS ares2,
+    -((2.25 - rr * rr) / 1.5) * sd1 AS cvres1
+  FROM oi
+),
+pg AS (
+  SELECT *,
+    (cvres1 * ares1)
+      / greatest((d1 * (-ares1) + d2 * (-ares2)) / 2.0, 0.01) AS pogv
+  FROM res
+)
+SELECT c_custkey,
+       CASE WHEN cse = 3 THEN 0
+            WHEN cvres1 < 0 AND pogv > pos_t THEN 1
+            WHEN cvres1 >= 0 AND pogv > neg_t THEN 1
+            ELSE 0 END AS qc_flag,
+       CASE WHEN cse = 3 THEN NULL ELSE round(pogv, 4) END AS pog
+FROM pg
+"""
+
+    sql["sct_resistant"] = f"""
+WITH {_SCT_PAIRS_SQL},
+pgeo AS (
+  SELECT *,
+    abs(elev - elev_o) AS dz,
+    value - (value + v_o) / 2.0 AS d1,
+    v_o - (value + v_o) / 2.0 AS d2
+  FROM pr
+),
+k AS (
+  SELECT *, exp(-0.5 - 0.5 * ((dz / 200.0) * (dz / 200.0))) AS rr FROM pgeo
+),
+oi AS (
+  SELECT *,
+    (1.5 * d1 - rr * d2) / (2.25 - rr * rr) AS sd1,
+    (1.5 * d2 - rr * d1) / (2.25 - rr * rr) AS sd2
+  FROM k
+),
+ch AS (
+  SELECT *,
+    sqrt(greatest(
+      (value - ((value + v_o) / 2.0 + (sd1 + rr * sd2)))
+      * (value - (value - sd1 * ((2.25 - rr * rr) / 1.5))), 0.0)) AS chi
+  FROM oi
+),
+fin AS (
+  SELECT *,
+    chi > (CASE WHEN d1 >= 0 THEN tpos_t ELSE tneg_t END) AS bad
+  FROM ch
+)
+SELECT c_custkey,
+       CASE WHEN m = 1 THEN 0
+            WHEN cse = 3 THEN 12
+            WHEN cse = 7 THEN 11
+            WHEN bad THEN 1
+            ELSE 0 END AS qc_flag,
+       CASE WHEN m = 0 AND cse != 3 AND cse != 7 AND bad
+            THEN round(chi, 4) ELSE NULL END AS score
+FROM fin
+"""
+
+    sql["sct_dual"] = f"""
+WITH {_SCT_PAIRS_SQL},
+pgeo AS (SELECT *, abs(elev - elev_o) AS dz FROM pr),
+k AS (
+  SELECT *,
+    exp(-0.5 - 0.5 * ((dz / 200.0) * (dz / 200.0))) / 1.1 AS cross_i
+  FROM pgeo
+)
+SELECT c_custkey,
+       CASE WHEN m = 1 THEN 0
+            WHEN cse = 3 THEN 12
+            WHEN (value > 5.0) = (v_o > 5.0) THEN 0
+            WHEN cross_i >= 0.45 AND cross_i * ln(cross_i / 0.001) > tdual_t THEN 1
+            ELSE 0 END AS qc_flag
+FROM k
+"""
+
     # --- the flagship webtext pipeline over `documents` -------------------
     lang_scores = []
     for lg in LANGS:
@@ -1333,6 +1654,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sct": q_sct,
         "sct_dual": q_sct_dual,
         "sct_resistant": q_sct_resistant,
+        "sct_general": q_sct_general,
+        "sct_dual_general": q_sct_dual_general,
+        "sct_resistant_general": q_sct_resistant_general,
         "dup_spatial": q_dup_spatial,
         "multimodal_plan": q_multimodal_plan,
         "multimodal_features": q_multimodal_features,
