@@ -1362,6 +1362,61 @@ SELECT d.doc_id, coalesce(fp.simhash60, 0) AS simhash60
 FROM documents d LEFT JOIN fp USING (doc_id)
 """
 
+    # LSH-gated exact n-gram jaccard (the 100 TB composition benched as a
+    # headline query): minhash over the SAME word trigrams -> 16 bands of 4
+    # -> capped buckets -> candidate pairs -> exact jaccard on candidates.
+    sql["ngram_jaccard_lsh"] = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+  FROM toks
+),
+exg AS (SELECT doc_id, unnest(g) AS _s FROM grams),
+hx AS (SELECT doc_id, {_h60} % {P} AS h FROM exg),
+votes AS (
+  SELECT doc_id,
+         {_mins}
+  FROM hx GROUP BY doc_id
+),
+sigs AS (SELECT doc_id, {_sig_list} AS sig FROM votes),
+banded AS (
+  SELECT doc_id, b AS band,
+         array_to_string(sig[b*4+1 : b*4+4], ',') AS bucket
+  FROM sigs, (SELECT unnest(range(0, 16)) AS b)
+),
+ok_buckets AS (
+  SELECT band, bucket FROM banded GROUP BY band, bucket
+  HAVING count(*) <= 1000
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a
+  JOIN ok_buckets o ON a.band = o.band AND a.bucket = o.bucket
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, len(g) AS sz FROM grams),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS c
+  FROM cands c
+  JOIN exg a ON a.doc_id = c.id_a
+  JOIN exg b ON b.doc_id = c.id_b AND b._s = a._s
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       round(i.c * 1.0 / (sa.sz + sb.sz - i.c), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.c * 1.0 / (sa.sz + sb.sz - i.c) >= 0.2
+"""
+
     # --- SCT family: isolated-pair closed-form OI (see _sct_pairs_geo) ----
     # For a 2-station neighborhood S = [[c, r], [r, c]] (c = 1 + eps2) the
     # inverse is [[c, -r], [-r, c]] / (c^2 - r^2), so every step of the
@@ -1643,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wt_fingerprint": q_wt_fingerprint,
         "wt_pipeline": q_wt_pipeline,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "embedding_near_dups": q_embedding_near_dups,
