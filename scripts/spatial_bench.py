@@ -153,6 +153,27 @@ REF_OBS_PER_SEC = {
 }
 
 
+def steal_pct(seconds: float = 3.0) -> float:
+    """Hypervisor steal fraction over a short window (from /proc/stat).
+
+    This box sits on shared infrastructure: steal spikes of 10-30% have
+    been observed, inflating shuffle-heavy wall times 4-5x (stragglers
+    serialize barriers). Any number taken at >2% steal is not an engine
+    measurement — the harness refuses to print one without a warning."""
+    import time as _t
+
+    def snap():
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return sum(vals), vals[7]  # total, steal
+
+    t0, s0 = snap()
+    _t.sleep(seconds)
+    t1, s1 = snap()
+    return 100.0 * (s1 - s0) / max(t1 - t0, 1)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="100000,1000000")
@@ -160,6 +181,14 @@ def main() -> None:
     ap.add_argument("--ops", default="isolation,buddy,buddy_event,sct")
     ap.add_argument("--no-md", action="store_true")
     args = ap.parse_args()
+
+    st = steal_pct()
+    if st > 2.0:
+        print(
+            f"WARNING: hypervisor steal {st:.1f}% — wall times will be "
+            "inflated by external contention; re-run in a quiet window",
+            file=sys.stderr,
+        )
 
     spark = make_spark(args.cpus)
     ops = args.ops.split(",")
@@ -178,7 +207,12 @@ def main() -> None:
         results[str(n)] = out
     spark.stop()
 
-    line = {"metric": "spatial_rows_per_sec", "cpus": args.cpus, "results": results}
+    line = {
+        "metric": "spatial_rows_per_sec",
+        "cpus": args.cpus,
+        "steal_pct": round(st, 1),
+        "results": results,
+    }
     print(json.dumps(line))
 
     if not args.no_md:
