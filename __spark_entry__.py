@@ -373,16 +373,21 @@ def q_multimodal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode->pool plumbing over the opaque payload (the
-    decode kernel is a deterministic fake — rows-only check: the feature
-    values have no SQL twin, but shape/batching/pruning are exercised)."""
+    """mapInPandas decode->pool over the opaque payload. The decode stub
+    is an arithmetic pixel field (multimodal._decode_image_kernel), so the
+    DuckDB oracle replays the decode AND the band-mean pooling exactly —
+    the full batch/schema/pruning path is value-checked, and swapping in a
+    real codec touches only the kernel."""
     from titanlib_spark.textops.multimodal import image_features
 
     m = _doc_media(spark, sf_dir)
     out = image_features(m, out_dim=8)
+    f = F.col("feature")
     return out.select(
         "media_id",
-        F.size("feature").alias("feature_dim"),
+        F.size(f).alias("feature_dim"),
+        F.round(F.element_at(f, 1).cast("double"), 3).alias("f0"),
+        F.round(F.element_at(f, 8).cast("double"), 3).alias("f7"),
     ).orderBy("media_id")
 
 
@@ -1360,6 +1365,45 @@ votes AS (
 fp AS (SELECT doc_id, {_fp} AS simhash60 FROM votes)
 SELECT d.doc_id, coalesce(fp.simhash60, 0) AS simhash60
 FROM documents d LEFT JOIN fp USING (doc_id)
+"""
+
+    # Multimodal decode->pool: the stub kernel is an arithmetic pixel
+    # field, so the oracle replays pixel = (seed + 31r + 7c + 13ch) % 256
+    # and the band means (integer sums exact in float64 -> bit-identical
+    # before the float32 narrowing both engines apply via ::REAL).
+    sql["multimodal_features"] = """
+WITH med AS (
+  SELECT doc_id AS media_id,
+         strlen(text) AS plen,
+         16 + doc_id % 48 AS w,
+         16 + (doc_id * 7) % 48 AS h
+  FROM documents
+),
+sm AS (
+  SELECT media_id, w, h, h // 8 AS q, h % 8 AS rem,
+         (plen * 2654435761 + w * 97 + h * 31) % 2147483647 AS seed
+  FROM med
+),
+px AS (
+  SELECT media_id, q, rem,
+         CASE WHEN r.r < rem * (q + 1) THEN r.r // (q + 1)
+              ELSE rem + (r.r - rem * (q + 1)) // q END AS j,
+         (seed + 31 * r.r + 7 * c.c + 13 * ch.ch) % 256 AS px
+  FROM sm,
+       generate_series(0, 62) r(r),
+       generate_series(0, 62) c(c),
+       generate_series(0, 2) ch(ch)
+  WHERE r.r < h AND c.c < w
+),
+bands AS (
+  SELECT media_id, j, (sum(px)::DOUBLE / count(*)) / 255.0 AS m
+  FROM px GROUP BY media_id, j
+)
+SELECT media_id, 8 AS feature_dim,
+       round((max(CASE WHEN j = 0 THEN m END)::REAL)::DOUBLE, 3) AS f0,
+       round((max(CASE WHEN j = 7 THEN m END)::REAL)::DOUBLE, 3) AS f7
+FROM bands GROUP BY media_id
+ORDER BY media_id
 """
 
     # LSH-gated exact n-gram jaccard (the 100 TB composition benched as a

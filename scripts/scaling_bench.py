@@ -25,6 +25,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run(cpus: int, sf_dir: str, qc_docs: int) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from spatial_bench import steal_pct
+
+    st = steal_pct()
+    if st > 2.0:
+        print(
+            f"WARNING: {st:.1f}% hypervisor steal before local[{cpus}] phase — "
+            "numbers will be inflated by external contention",
+            file=sys.stderr,
+        )
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
@@ -42,7 +52,9 @@ def run(cpus: int, sf_dir: str, qc_docs: int) -> dict:
         timeout=3600,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    d = json.loads(line)
+    d["steal_pct_before"] = round(st, 1)
+    return d
 
 
 def main() -> None:
@@ -79,6 +91,7 @@ suite at {sf_dir}), two parallelism levels:
 * speedup {lo}->{hi} cores: **{speedup:.2f}x** (ideal {n}x)
 * scaling efficiency (speedup/{n}): **{eff:.2f}** (target >= 0.8)
 * reference formula eff (tests/benchmark.py:105-110, t_1 := t_{lo}): {eff_ref:.2f}
+* hypervisor steal before each phase: {r_lo['steal_pct_before']}% / {r_hi['steal_pct_before']}%
 """
     with open(os.path.join(REPO, "BENCH_SCALING.md"), "a") as f:
         f.write(block)

@@ -44,13 +44,18 @@ _FAKE_MODE = True  # flip to False when real codecs are installed
 
 def _decode_image_kernel(payload: bytes, width: int, height: int) -> np.ndarray:
     """STUB: real impl = PIL.Image.open(BytesIO(payload)). The fake is a
-    deterministic pixel field derived from the payload hash so tests can
-    assert shapes and determinism."""
+    deterministic arithmetic pixel field derived from the payload length
+    and dimensions — chosen over an RNG so the whole decode->pool path has
+    an exact SQL twin (the `multimodal_features` DuckDB oracle replays
+    pixel = (seed + 31r + 7c + 13ch) mod 256 and the band means)."""
     if not _FAKE_MODE:
         raise NotImplementedError("install PIL and decode payload here")
-    seed = np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(height or 4, width or 4, 3), dtype=np.uint8)
+    h, w = (height or 4), (width or 4)
+    seed = (len(payload) * 2654435761 + w * 97 + h * 31) % 2147483647
+    r = np.arange(h)[:, None, None]
+    c = np.arange(w)[None, :, None]
+    ch = np.arange(3)[None, None, :]
+    return ((seed + 31 * r + 7 * c + 13 * ch) % 256).astype(np.uint8)
 
 
 def image_features(
@@ -79,9 +84,17 @@ def image_features(
                     continue
                 img = _decode_image_kernel(bytes(payload), int(w or 0), int(h or 0))
                 # mean-pool rows into out_dim horizontal bands (stand-in for
-                # a real embedding model; deterministic)
-                bands = np.array_split(img.astype(np.float32) / 255.0, out_dim, axis=0)
-                feats.append(np.array([b.mean() for b in bands], dtype=np.float32))
+                # a real embedding model; deterministic). Integer sums are
+                # exact in float64 regardless of summation order, so the
+                # band mean is bit-identical to the SQL oracle's
+                # sum/count/255 before the float32 narrowing.
+                bands = np.array_split(img, out_dim, axis=0)
+                feats.append(
+                    np.array(
+                        [float(b.mean(dtype=np.float64)) / 255.0 for b in bands],
+                        dtype=np.float32,
+                    )
+                )
             out = pdf[names].copy()
             out["feature"] = feats
             yield out
