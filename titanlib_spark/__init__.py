@@ -25,6 +25,29 @@ from titanlib_spark.flags import (
 )
 from titanlib_spark.session import get_spark
 
+# the reference exposes every check at package level (titanlib.buddy_check
+# et al., reference include/titanlib.h) — mirror that call surface so a
+# titanlib user can switch with an import swap
+from titanlib_spark.operators import (
+    background,
+    buddy_check,
+    buddy_event_check,
+    dem_check,
+    duplicate_check_exact,
+    duplicate_check_spatial,
+    external_check,
+    fgt,
+    isolation_check,
+    lag_reduction_filter,
+    metadata_check,
+    range_check,
+    range_check_climatology,
+    sct,
+    sct_dual,
+    sct_resistant,
+)
+from titanlib_spark.pipeline import QCDataset
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -36,5 +59,22 @@ __all__ = [
     "UNCHECKED",
     "merge_flags",
     "get_spark",
+    "QCDataset",
+    "range_check",
+    "range_check_climatology",
+    "metadata_check",
+    "isolation_check",
+    "duplicate_check_exact",
+    "duplicate_check_spatial",
+    "buddy_check",
+    "buddy_event_check",
+    "background",
+    "fgt",
+    "dem_check",
+    "external_check",
+    "lag_reduction_filter",
+    "sct",
+    "sct_dual",
+    "sct_resistant",
     "__version__",
 ]
