@@ -1,0 +1,176 @@
+"""Differential property tests: Spark operators vs an independent numpy
+brute-force model of the reference semantics, over hypothesis-random
+inputs (random geometry, NaN values, random parameters).
+
+The models below re-derive the semantics from the reference
+(src/buddy_check.cpp:13-180, src/isolation_check.cpp:9-92) with O(n^2)
+numpy — no grid bucketing, no joins — so any agreement is evidence the
+distributed plan computes the same function, not a shared bug.
+
+Numeric caveat: both engines are IEEE double; disagreement is only
+possible when a quantity lands within ~1e-12 of a decision boundary
+(radius, threshold), which continuous draws never hit.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from titanlib_spark.operators import buddy_check, isolation_check
+
+R = 6.37e6  # functions/geo.EARTH_RADIUS (reference src/util.cpp:79)
+
+
+def _ecef(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
+    latr, lonr = np.radians(lat), np.radians(lon)
+    return np.stack(
+        [np.cos(latr) * np.cos(lonr) * R, np.cos(latr) * np.sin(lonr) * R,
+         np.sin(latr) * R],
+        axis=1,
+    )
+
+
+def _chord2(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
+    p = _ecef(lat, lon)
+    d = p[:, None, :] - p[None, :, :]
+    return (d * d).sum(-1)
+
+
+def _buddy_model(lat, lon, elev, value, *, radius, num_min, threshold,
+                 max_elev_diff, elev_gradient, min_std, num_iterations):
+    """Reference buddy_check semantics, brute force (one flags snapshot
+    per iteration, population variance, std floor, early stop)."""
+    n = len(lat)
+    flags = np.where(np.isfinite(value), 0, 1)
+    d2 = _chord2(lat, lon)
+    use_elev = max_elev_diff > 0
+    for _ in range(num_iterations):
+        valid = flags == 0
+        new = flags.copy()
+        for i in range(n):
+            if not valid[i]:
+                continue
+            nb = valid & (d2[i] > 0) & (d2[i] <= radius * radius)
+            nb[i] = False
+            if use_elev:
+                nb &= np.abs(elev[i] - elev) <= max_elev_diff
+            cnt = int(nb.sum())
+            if cnt < num_min:
+                continue
+            adj = value[nb] + ((elev[i] - elev[nb]) * elev_gradient
+                               if use_elev else 0.0)
+            mean, var = adj.mean(), adj.var()
+            std_adj = max(math.sqrt(var + var / cnt), min_std)
+            if abs(value[i] - mean) / std_adj > threshold:
+                new[i] = 1
+        if (new != flags).sum() == 0:
+            break
+        flags = new
+    return flags
+
+
+def _isolation_model(lat, lon, elev, *, num_min, radius, vertical_radius):
+    """Reference isolation_check semantics: neighbors among valid-coord
+    rows (values/flags irrelevant), optional symmetric elevation band."""
+    n = len(lat)
+    located = np.isfinite(lat) & np.isfinite(lon)
+    if vertical_radius is not None:
+        bad_coord = ~located | ~np.isfinite(elev)
+    else:
+        bad_coord = ~located
+    lat2, lon2 = np.where(located, lat, 0.0), np.where(located, lon, 0.0)
+    d2 = _chord2(lat2, lon2)
+    flags = np.zeros(n, dtype=int)
+    for i in range(n):
+        if bad_coord[i]:
+            flags[i] = 1
+            continue
+        nb = located & (d2[i] > 0) & (d2[i] <= radius * radius)
+        nb[i] = False
+        if vertical_radius is not None:
+            nb &= np.abs(elev[i] - elev) <= vertical_radius
+        if int(nb.sum()) < num_min:
+            flags[i] = 1
+    return flags
+
+
+finite_val = st.floats(min_value=-10, max_value=10, allow_nan=False)
+maybe_nan_val = st.one_of(finite_val, st.just(float("nan")))
+
+
+@st.composite
+def stations(draw, min_n=2, max_n=25):
+    n = draw(st.integers(min_n, max_n))
+    lat = [draw(st.floats(50.0, 50.4, allow_nan=False)) for _ in range(n)]
+    lon = [draw(st.floats(10.0, 10.4, allow_nan=False)) for _ in range(n)]
+    elev = [draw(st.floats(0.0, 400.0, allow_nan=False)) for _ in range(n)]
+    value = [draw(maybe_nan_val) for _ in range(n)]
+    return pd.DataFrame(
+        {"id": np.arange(n, dtype=np.int64), "lat": lat, "lon": lon,
+         "elev": elev, "value": value}
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+@given(
+    pdf=stations(),
+    radius=st.floats(2_000, 30_000),
+    num_min=st.integers(1, 4),
+    threshold=st.floats(0.5, 3.0),
+    max_elev_diff=st.sampled_from([-1.0, 150.0]),
+    min_std=st.floats(0.1, 2.0),
+    iters=st.integers(1, 2),
+)
+def test_buddy_check_matches_brute_force(spark, pdf, radius, num_min,
+                                         threshold, max_elev_diff, min_std,
+                                         iters):
+    expected = _buddy_model(
+        pdf.lat.to_numpy(), pdf.lon.to_numpy(), pdf.elev.to_numpy(),
+        pdf.value.to_numpy(),
+        radius=radius, num_min=num_min, threshold=threshold,
+        max_elev_diff=max_elev_diff, elev_gradient=-0.0065,
+        min_std=min_std, num_iterations=iters,
+    )
+    out = buddy_check(
+        spark.createDataFrame(pdf), radius=radius, num_min=num_min,
+        threshold=threshold, max_elev_diff=max_elev_diff,
+        elev_gradient=-0.0065, min_std=min_std, num_iterations=iters,
+    )
+    got = {r["id"]: r["flags"] for r in out.select("id", "flags").collect()}
+    assert [got[i] for i in range(len(pdf))] == list(expected)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+@given(
+    pdf=stations(),
+    radius=st.floats(2_000, 30_000),
+    num_min=st.integers(1, 4),
+    vertical_radius=st.sampled_from([None, 120.0]),
+)
+def test_isolation_check_matches_brute_force(spark, pdf, radius, num_min,
+                                             vertical_radius):
+    expected = _isolation_model(
+        pdf.lat.to_numpy(), pdf.lon.to_numpy(), pdf.elev.to_numpy(),
+        num_min=num_min, radius=radius, vertical_radius=vertical_radius,
+    )
+    out = isolation_check(
+        spark.createDataFrame(pdf), num_min=num_min, radius=radius,
+        vertical_radius=vertical_radius,
+    )
+    got = {r["id"]: r["flags"] for r in out.select("id", "flags").collect()}
+    assert [got[i] for i in range(len(pdf))] == list(expected)
