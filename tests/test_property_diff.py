@@ -21,7 +21,11 @@ import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from titanlib_spark.operators import buddy_check, isolation_check
+from titanlib_spark.operators import (
+    buddy_check,
+    buddy_event_check,
+    isolation_check,
+)
 
 R = 6.37e6  # functions/geo.EARTH_RADIUS (reference src/util.cpp:79)
 
@@ -67,6 +71,50 @@ def _buddy_model(lat, lon, elev, value, *, radius, num_min, threshold,
             mean, var = adj.mean(), adj.var()
             std_adj = max(math.sqrt(var + var / cnt), min_std)
             if abs(value[i] - mean) / std_adj > threshold:
+                new[i] = 1
+        if (new != flags).sum() == 0:
+            break
+        flags = new
+    return flags
+
+
+def _buddy_event_model(lat, lon, elev, value, *, radius, num_min,
+                       event_threshold, threshold, max_elev_diff,
+                       elev_gradient, num_iterations):
+    """Reference buddy_event_check semantics (src/buddy_event_check.cpp:
+    13-189): center event from the raw value, neighbor events from the
+    lapse-adjusted value; fraction mode below 1, count mode at >= 1."""
+    n = len(lat)
+    flags = np.where(np.isfinite(value), 0, 1)
+    d2 = _chord2(lat, lon)
+    use_elev = max_elev_diff > 0
+    for _ in range(num_iterations):
+        valid = flags == 0
+        new = flags.copy()
+        for i in range(n):
+            if not valid[i]:
+                continue
+            nb = valid & (d2[i] > 0) & (d2[i] <= radius * radius)
+            nb[i] = False
+            if use_elev:
+                nb &= np.abs(elev[i] - elev) <= max_elev_diff
+            cnt = int(nb.sum())
+            if cnt < num_min:
+                continue
+            adj = value[nb] + ((elev[i] - elev[nb]) * elev_gradient
+                               if use_elev else 0.0)
+            n_event = int((adj < event_threshold).sum())
+            is_event = value[i] < event_threshold
+            if threshold < 1:
+                frac = n_event / cnt
+                bad = (is_event and frac <= threshold) or (
+                    not is_event and (1 - frac) <= threshold
+                )
+            else:
+                bad = (is_event and n_event <= threshold) or (
+                    not is_event and (cnt - n_event) <= threshold
+                )
+            if bad:
                 new[i] = 1
         if (new != flags).sum() == 0:
             break
@@ -145,6 +193,41 @@ def test_buddy_check_matches_brute_force(spark, pdf, radius, num_min,
         spark.createDataFrame(pdf), radius=radius, num_min=num_min,
         threshold=threshold, max_elev_diff=max_elev_diff,
         elev_gradient=-0.0065, min_std=min_std, num_iterations=iters,
+    )
+    got = {r["id"]: r["flags"] for r in out.select("id", "flags").collect()}
+    assert [got[i] for i in range(len(pdf))] == list(expected)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+@given(
+    pdf=stations(),
+    radius=st.floats(2_000, 30_000),
+    num_min=st.integers(1, 4),
+    event_threshold=st.floats(-5.0, 5.0),
+    threshold=st.one_of(st.floats(0.05, 0.9), st.floats(1.0, 3.0)),
+    max_elev_diff=st.sampled_from([-1.0, 150.0]),
+    iters=st.integers(1, 2),
+)
+def test_buddy_event_check_matches_brute_force(spark, pdf, radius, num_min,
+                                               event_threshold, threshold,
+                                               max_elev_diff, iters):
+    expected = _buddy_event_model(
+        pdf.lat.to_numpy(), pdf.lon.to_numpy(), pdf.elev.to_numpy(),
+        pdf.value.to_numpy(),
+        radius=radius, num_min=num_min, event_threshold=event_threshold,
+        threshold=threshold, max_elev_diff=max_elev_diff,
+        elev_gradient=-0.0065, num_iterations=iters,
+    )
+    out = buddy_event_check(
+        spark.createDataFrame(pdf), radius=radius, num_min=num_min,
+        event_threshold=event_threshold, threshold=threshold,
+        max_elev_diff=max_elev_diff, elev_gradient=-0.0065,
+        num_iterations=iters,
     )
     got = {r["id"]: r["flags"] for r in out.select("id", "flags").collect()}
     assert [got[i] for i in range(len(pdf))] == list(expected)
