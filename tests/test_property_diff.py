@@ -78,6 +78,40 @@ def _buddy_model(lat, lon, elev, value, *, radius, num_min, threshold,
     return flags
 
 
+def _buddy_vec_model(lat, lon, elev, value, rad, nm, thr, mstd, *,
+                     max_elev_diff, elev_gradient, num_iterations):
+    """buddy_check with per-row radius / num_min / threshold / min_std
+    (reference length-N vector convention, src/buddy_check.cpp:32-41):
+    each center's own radius gates which neighbors feed ITS stats."""
+    n = len(lat)
+    flags = np.where(np.isfinite(value), 0, 1)
+    d2 = _chord2(lat, lon)
+    use_elev = max_elev_diff > 0
+    for _ in range(num_iterations):
+        valid = flags == 0
+        new = flags.copy()
+        for i in range(n):
+            if not valid[i]:
+                continue
+            nb = valid & (d2[i] > 0) & (d2[i] <= rad[i] * rad[i])
+            nb[i] = False
+            if use_elev:
+                nb &= np.abs(elev[i] - elev) <= max_elev_diff
+            cnt = int(nb.sum())
+            if cnt < nm[i]:
+                continue
+            adj = value[nb] + ((elev[i] - elev[nb]) * elev_gradient
+                               if use_elev else 0.0)
+            mean, var = adj.mean(), adj.var()
+            std_adj = max(math.sqrt(var + var / cnt), mstd[i])
+            if abs(value[i] - mean) / std_adj > thr[i]:
+                new[i] = 1
+        if (new != flags).sum() == 0:
+            break
+        flags = new
+    return flags
+
+
 def _buddy_event_model(lat, lon, elev, value, *, radius, num_min,
                        event_threshold, threshold, max_elev_diff,
                        elev_gradient, num_iterations):
@@ -193,6 +227,44 @@ def test_buddy_check_matches_brute_force(spark, pdf, radius, num_min,
         spark.createDataFrame(pdf), radius=radius, num_min=num_min,
         threshold=threshold, max_elev_diff=max_elev_diff,
         elev_gradient=-0.0065, min_std=min_std, num_iterations=iters,
+    )
+    got = {r["id"]: r["flags"] for r in out.select("id", "flags").collect()}
+    assert [got[i] for i in range(len(pdf))] == list(expected)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+@given(
+    pdf=stations(),
+    max_elev_diff=st.sampled_from([-1.0, 150.0]),
+    iters=st.integers(1, 2),
+)
+def test_buddy_check_per_row_vectors_match_brute_force(spark, pdf,
+                                                       max_elev_diff, iters):
+    """Per-row radius/num_min/threshold/min_std columns (the length-N
+    vector convention) against the same brute-force model."""
+    ids = pdf["id"].to_numpy()
+    pdf = pdf.assign(
+        rad=3000.0 + (ids % 4) * 4000.0,
+        nm=(1 + ids % 3).astype("int32"),
+        thr=0.5 + (ids % 5) * 0.5,
+        mstd=0.2 + (ids % 3) * 0.6,
+    )
+    expected = _buddy_vec_model(
+        pdf.lat.to_numpy(), pdf.lon.to_numpy(), pdf.elev.to_numpy(),
+        pdf.value.to_numpy(), pdf.rad.to_numpy(), pdf.nm.to_numpy(),
+        pdf.thr.to_numpy(), pdf.mstd.to_numpy(),
+        max_elev_diff=max_elev_diff, elev_gradient=-0.0065,
+        num_iterations=iters,
+    )
+    out = buddy_check(
+        spark.createDataFrame(pdf), radius="rad", num_min="nm",
+        threshold="thr", min_std="mstd", max_elev_diff=max_elev_diff,
+        elev_gradient=-0.0065, num_iterations=iters, cell_size=15000.0,
     )
     got = {r["id"]: r["flags"] for r in out.select("id", "flags").collect()}
     assert [got[i] for i in range(len(pdf))] == list(expected)
