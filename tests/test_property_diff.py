@@ -181,6 +181,37 @@ def _isolation_model(lat, lon, elev, *, num_min, radius, vertical_radius):
     return flags
 
 
+def _dup_spatial_model(lat, lon, radius, elev=None, vr=None):
+    """Reference greedy first-wins dedup (src/duplicate_check.cpp:7-56):
+    sequential scan in id order; keeping a row checks all its
+    radius-neighbors (elevation-gated when vertical_range is set; rows
+    with invalid elevation are pre-checked and never kept)."""
+    n = len(lat)
+    d2 = _chord2(lat, lon)
+    checked, keep = set(), set()
+    if vr is not None:
+        for i in range(n):
+            if not np.isfinite(elev[i]):
+                checked.add(i)
+    for i in range(n):
+        if i in checked:
+            continue
+        checked.add(i)
+        keep.add(i)
+        for j in range(n):
+            # coincident distinct rows (d == 0) ARE duplicates here:
+            # neighbor_pairs(include_self=True) keeps zero-distance pairs
+            if j == i or not (d2[i, j] <= radius * radius):
+                continue
+            if vr is None:
+                checked.add(j)
+            elif not np.isfinite(elev[j]):
+                checked.add(j)
+            elif abs(elev[i] - elev[j]) <= vr:
+                checked.add(j)
+    return np.array([0 if i in keep else 1 for i in range(n)])
+
+
 finite_val = st.floats(min_value=-10, max_value=10, allow_nan=False)
 maybe_nan_val = st.one_of(finite_val, st.just(float("nan")))
 
@@ -300,6 +331,35 @@ def test_buddy_event_check_matches_brute_force(spark, pdf, radius, num_min,
         event_threshold=event_threshold, threshold=threshold,
         max_elev_diff=max_elev_diff, elev_gradient=-0.0065,
         num_iterations=iters,
+    )
+    got = {r["id"]: r["flags"] for r in out.select("id", "flags").collect()}
+    assert [got[i] for i in range(len(pdf))] == list(expected)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+@given(
+    pdf=stations(),
+    radius=st.floats(500, 100_000),  # big radii -> one giant component:
+    vr=st.sampled_from([None, 120.0]),  # stresses the pointer-jumping CC
+)
+def test_duplicate_spatial_matches_sequential_greedy(spark, pdf, radius, vr):
+    from titanlib_spark.operators import duplicate_check_spatial
+
+    if vr is not None:
+        # inject invalid elevations (pre-checked rows in the reference)
+        pdf = pdf.copy()
+        pdf.loc[pdf["id"] % 7 == 3, "elev"] = float("nan")
+    expected = _dup_spatial_model(
+        pdf.lat.to_numpy(), pdf.lon.to_numpy(), radius,
+        elev=pdf.elev.to_numpy(), vr=vr,
+    )
+    out = duplicate_check_spatial(
+        spark.createDataFrame(pdf), radius=radius, vertical_range=vr,
     )
     got = {r["id"]: r["flags"] for r in out.select("id", "flags").collect()}
     assert [got[i] for i in range(len(pdf))] == list(expected)
