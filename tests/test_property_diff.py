@@ -212,6 +212,52 @@ def _dup_spatial_model(lat, lon, radius, elev=None, vr=None):
     return np.array([0 if i in keep else 1 for i in range(n)])
 
 
+def _fgt_model(value, bg, group, *, tpos, tneg, basic, sigma_b,
+               mina, maxa, minv, maxv, num_iterations):
+    """Reference FGT decision core (src/fgt.cpp:780-923): robust z over
+    admissible backgrounds, valid-band vouching, chi_stat-empty => all
+    bad, worst-candidate-only per group per iteration."""
+    n = len(value)
+    flags = np.where(np.isfinite(value), 0, 1)
+    for _ in range(num_iterations):
+        new = flags.copy()
+        for g in set(group):
+            rows = [i for i in range(n) if group[i] == g and flags[i] == 0]
+            if not rows:
+                continue
+            chi = {i: abs(value[i] - bg[i]) / sigma_b for i in rows}
+            adm = [i for i in rows
+                   if (mina is None or bg[i] >= mina)
+                   and (maxa is None or bg[i] <= maxa)]
+            if not adm:
+                for i in rows:          # chi_stat empty -> all bad
+                    new[i] = 1
+                continue
+            a = np.array([chi[i] for i in adm])
+            mu = float(np.percentile(a, 50))
+            sigma = float(np.percentile(a, 75) - np.percentile(a, 25))
+            if basic:
+                z = dict(chi)
+            else:
+                if sigma <= 0:
+                    continue            # degenerate group: cannot test
+                z = {i: (chi[i] - mu) / (sigma + sigma / math.sqrt(len(adm)))
+                     for i in rows}
+            cand = [i for i in rows
+                    if minv is None or maxv is None
+                    or bg[i] < minv or bg[i] > maxv]
+            if not cand:
+                continue
+            worst = min(cand, key=lambda i: (-z[i], i))
+            thr = tpos if value[worst] >= bg[worst] else tneg
+            if z[worst] > thr:
+                new[worst] = 1
+        if (new != flags).sum() == 0:
+            break
+        flags = new
+    return flags
+
+
 finite_val = st.floats(min_value=-10, max_value=10, allow_nan=False)
 maybe_nan_val = st.one_of(finite_val, st.just(float("nan")))
 
@@ -227,6 +273,47 @@ def stations(draw, min_n=2, max_n=25):
         {"id": np.arange(n, dtype=np.int64), "lat": lat, "lon": lon,
          "elev": elev, "value": value}
     )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+@given(
+    n=st.integers(3, 25),
+    vals=st.lists(maybe_nan_val, min_size=25, max_size=25),
+    bgs=st.lists(st.floats(-10, 10, allow_nan=False), min_size=25, max_size=25),
+    tpos=st.floats(0.2, 4.0),
+    tneg=st.floats(0.2, 4.0),
+    basic=st.booleans(),
+    mina=st.sampled_from([None, 0.0]),
+    valid_band=st.sampled_from([None, (-1.0, 1.0)]),
+    iters=st.integers(1, 3),
+)
+def test_fgt_matches_brute_force(spark, n, vals, bgs, tpos, tneg, basic,
+                                 mina, valid_band, iters):
+    from titanlib_spark.operators import fgt
+
+    ids = np.arange(n, dtype=np.int64)
+    pdf = pd.DataFrame(
+        {"id": ids, "grp": (ids % 3).astype("int32"),
+         "value": vals[:n], "bg": bgs[:n]}
+    )
+    minv, maxv = valid_band if valid_band else (None, None)
+    expected = _fgt_model(
+        pdf.value.to_numpy(), pdf.bg.to_numpy(), pdf.grp.to_numpy(),
+        tpos=tpos, tneg=tneg, basic=basic, sigma_b=1.0,
+        mina=mina, maxa=None, minv=minv, maxv=maxv, num_iterations=iters,
+    )
+    out = fgt(
+        spark.createDataFrame(pdf), group_cols=["grp"], tpos=tpos, tneg=tneg,
+        basic=basic, value_mina=mina, value_minv=minv, value_maxv=maxv,
+        num_iterations=iters,
+    )
+    got = {r["id"]: r["flags"] for r in out.select("id", "flags").collect()}
+    assert [got[i] for i in range(n)] == list(expected)
 
 
 @settings(

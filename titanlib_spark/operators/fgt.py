@@ -85,8 +85,14 @@ def fgt(
         if basic:
             z = F.col("_chi")
         else:
-            z = (F.col("_chi") - F.col("_mu")) / (
-                F.col("_sigma") + F.col("_sigma") / F.sqrt(F.col("_n_stat"))
+            # sigma == 0 (degenerate group, src/fgt.cpp:862-866) must not
+            # evaluate the division: under ANSI mode a zero divisor aborts
+            # the whole job even for rows the `testable` gate would drop
+            z = F.when(
+                F.col("_sigma") > 0,
+                (F.col("_chi") - F.col("_mu")) / (
+                    F.col("_sigma") + F.col("_sigma") / F.sqrt(F.col("_n_stat"))
+                ),
             )
         joined = joined.withColumn("_z", z)
 
