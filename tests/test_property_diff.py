@@ -328,7 +328,7 @@ def test_fgt_matches_brute_force(spark, n, vals, bgs, tpos, tneg, basic,
     num_min=st.integers(1, 4),
     threshold=st.floats(0.5, 3.0),
     max_elev_diff=st.sampled_from([-1.0, 150.0]),
-    min_std=st.floats(0.1, 2.0),
+    min_std=st.one_of(st.just(0.0), st.floats(0.1, 2.0)),
     iters=st.integers(1, 2),
 )
 def test_buddy_check_matches_brute_force(spark, pdf, radius, num_min,

@@ -201,11 +201,18 @@ def buddy_check(
             F.sqrt(F.col("_buddy_var") + F.col("_buddy_var") / F.col("_n_buddies")),
             _pcol(min_std, float),
         )
-        z = F.abs(F.col(value_col) - F.col("_buddy_mean")) / std_adj
+        dev = F.abs(F.col(value_col) - F.col("_buddy_mean"))
+        # std_adj can be 0 when min_std=0 meets a zero-variance
+        # neighborhood; ANSI mode would abort on the division, so encode
+        # the IEEE semantics (dev/0 = inf exceeds any finite threshold,
+        # 0/0 = nan exceeds none) directly
+        exceeds = F.when(
+            std_adj > 0, dev / std_adj > _pcol(threshold, float)
+        ).otherwise(dev > 0)
         verdict = (
             F.col("_n_buddies").isNotNull()
             & (F.col("_n_buddies") >= _pcol(num_min, int))
-            & (z > _pcol(threshold, float))
+            & exceeds
         )
         if obs_to_check is not None:
             verdict = verdict & (F.col(obs_to_check) == 1)
