@@ -33,7 +33,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # zero-norm guard: ANSI mode aborts on x/0; a zero vector has no
+    # direction, so its similarity is NULL (never passes a >= threshold)
+    den = norm(a) * norm(b)
+    return F.when(den > 0, dot(a, b) / den)
 
 
 def with_normalized_embedding(
