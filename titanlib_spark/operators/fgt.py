@@ -59,7 +59,14 @@ def fgt(
     prev_bad = df.where(F.col(flag_col) != GOOD).count()
     for _ in range(int(num_iterations)):
         good = df.where(F.col(flag_col) == GOOD)
-        chi = F.abs(F.col(value_col) - F.col(bg_col)) / sb
+        dev = F.abs(F.col(value_col) - F.col(bg_col))
+        # sigma_b = 0 (per-row background uncertainty): dev/0 would abort
+        # under ANSI mode; keep the IEEE reading — any deviation over zero
+        # uncertainty is infinitely suspicious (sorts worst), while a
+        # zero/zero row is unscorable (NULL: out of stats and verdicts)
+        chi = F.when(sb > 0, dev / sb).otherwise(
+            F.when(dev > 0, F.lit(float("inf")))
+        )
         scored = good.withColumn("_chi", chi)
 
         admissible = F.lit(True)
