@@ -84,3 +84,60 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     q2 = stream_quality_pipeline(spark, src, out, str(tmp_path / "ckpt2"), n_parts=2)
     q2.awaitTermination(300)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_windowed_keep_rates_watermark_drops_late_rows(spark, tmp_path):
+    """The stateful-aggregation shape: event-time windows + watermark.
+    A row arriving after its window closed beyond the watermark is
+    dropped; an in-watermark late row updates its window. Watermark state
+    survives the availableNow restart via the checkpoint."""
+    from datetime import datetime
+
+    from titanlib_spark.streaming import windowed_keep_rates
+    from titanlib_spark.webtext.schema import PAGES_SCHEMA
+
+    src, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    long_text = "word " * 40
+    page = lambda ts, text: (f"u://{ts.isoformat()}", ts, None, text, "en")
+
+    rows1 = [
+        page(datetime(2024, 1, 1, 10, 0), long_text),
+        page(datetime(2024, 1, 1, 10, 30), "too short"),
+        page(datetime(2024, 1, 1, 11, 15), long_text),
+    ]
+    spark.createDataFrame(rows1, PAGES_SCHEMA).write.mode("append").parquet(src)
+
+    def drain():
+        # memory sink cannot recover from a checkpoint; collect the
+        # update-mode rows driver-side via foreachBatch instead
+        updates = []
+
+        def sink(bdf, _bid):
+            updates.extend(bdf.collect())
+
+        stream = spark.readStream.schema(PAGES_SCHEMA).parquet(src)
+        q = (
+            windowed_keep_rates(stream, watermark="2 hours", window_len="1 hour")
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {r.window_start.hour: (r.n_pages, r.n_keep) for r in updates}
+
+    t1 = drain()
+    assert t1[10] == (2, 1) and t1[11] == (1, 1)
+
+    # watermark is now 11:15 - 2h = 09:15: the 08:00 row's window closed
+    # at 09:00 < watermark -> dropped; 11:45 updates the open 11:00 window
+    rows2 = [
+        page(datetime(2024, 1, 1, 8, 0), long_text),
+        page(datetime(2024, 1, 1, 11, 45), long_text),
+    ]
+    spark.createDataFrame(rows2, PAGES_SCHEMA).write.mode("append").parquet(src)
+
+    t2 = drain()
+    assert 8 not in t2
+    assert t2[11] == (2, 2)

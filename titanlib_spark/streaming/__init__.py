@@ -1,3 +1,6 @@
-from titanlib_spark.streaming.pipeline import stream_quality_pipeline
+from titanlib_spark.streaming.pipeline import (
+    stream_quality_pipeline,
+    windowed_keep_rates,
+)
 
-__all__ = ["stream_quality_pipeline"]
+__all__ = ["stream_quality_pipeline", "windowed_keep_rates"]

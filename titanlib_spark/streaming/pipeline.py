@@ -136,3 +136,41 @@ def stream_quality_pipeline(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_keep_rates(
+    pages,
+    time_col: str = "warc_ts",
+    watermark: str = "2 hours",
+    window_len: str = "1 hour",
+    min_words: int = 30,
+):
+    """Event-time windowed keep-rate telemetry over the page stream — the
+    stateful-aggregation shape (withWatermark + window + agg) rather than
+    foreachBatch: arrivals and rows passing a row-local keep rule per
+    window. The watermark bounds aggregation state and drops late rows
+    whose window closed more than `watermark` before the max event time
+    seen (state survives restarts via the streaming checkpoint).
+
+    Row-local scoring only (a pure Catalyst predicate), so the windowed
+    aggregation is the single stateful operator; full-pipeline verdicts
+    stay in stream_quality_pipeline's foreachBatch. Returns a streaming
+    DataFrame (window_start, window_end, n_pages, n_keep) — attach a sink
+    with outputMode("update") (or "append" for finalized-only windows)."""
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    keep = F.col("text").isNotNull() & (toks >= int(min_words))
+    return (
+        pages.withColumn("_keep", keep.cast("int"))
+        .withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), window_len))
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("_keep").alias("n_keep"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_pages",
+            "n_keep",
+        )
+    )
