@@ -141,3 +141,51 @@ def test_windowed_keep_rates_watermark_drops_late_rows(spark, tmp_path):
     t2 = drain()
     assert 8 not in t2
     assert t2[11] == (2, 2)
+
+
+def test_running_host_quality_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState: per-host running totals accumulate across
+    micro-batches AND across an availableNow restart (state store via the
+    streaming checkpoint), with no sink re-scan."""
+    from titanlib_spark.streaming import running_host_quality
+    from titanlib_spark.webtext.schema import PAGES_SCHEMA
+    from datetime import datetime
+
+    src, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    long_text = "word " * 40
+    ts = datetime(2024, 1, 1, 12, 0)
+    mk = lambda host, text, i: (f"https://{host}/p{i}", ts, None, text, "en")
+
+    rows1 = [mk("a.example", long_text, 1), mk("a.example", "short", 2),
+             mk("b.example", long_text, 3)]
+    spark.createDataFrame(rows1, PAGES_SCHEMA).write.mode("append").parquet(src)
+
+    def drain():
+        state = {}
+
+        def sink(bdf, _bid):
+            for r in bdf.collect():
+                state[r.host] = (r.n_pages, r.n_keep)
+
+        stream = spark.readStream.schema(PAGES_SCHEMA).parquet(src)
+        q = (
+            running_host_quality(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return state
+
+    t1 = drain()
+    assert t1["a.example"] == (2, 1) and t1["b.example"] == (1, 1)
+
+    rows2 = [mk("a.example", long_text, 4), mk("c.example", "tiny", 5)]
+    spark.createDataFrame(rows2, PAGES_SCHEMA).write.mode("append").parquet(src)
+
+    t2 = drain()
+    # a's totals CONTINUED from the persisted state; c starts fresh
+    assert t2["a.example"] == (3, 2)
+    assert t2["c.example"] == (1, 0)

@@ -138,6 +138,72 @@ def stream_quality_pipeline(
     return writer.start()
 
 
+def running_host_quality(
+    pages,
+    url_col: str = "url",
+    min_words: int = 30,
+):
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-host RUNNING page/keep counts across micro-batches. The state
+    store (not a sink re-scan) carries each host's totals, so the
+    operator is O(batch) per trigger and survives restarts through the
+    streaming checkpoint — the pattern for cross-batch host reputations
+    (a host whose keep-rate decays gets demoted without replaying
+    history). Emits one (host, n_pages, n_keep, keep_rate) row per host
+    per batch in update mode."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    keep = (F.col("text").isNotNull() & (toks >= int(min_words))).cast("long")
+    scored = pages.select(
+        F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)", 1).alias("host"),
+        keep.alias("_keep"),
+    )
+
+    out_schema = StructType(
+        [
+            StructField("host", StringType()),
+            StructField("n_pages", LongType()),
+            StructField("n_keep", LongType()),
+            StructField("keep_rate", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n_pages", LongType()), StructField("n_keep", LongType())]
+    )
+
+    def update(key, pdfs, state):
+        n, k = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            k += int(pdf["_keep"].sum())
+        state.update((n, k))
+        yield pd.DataFrame(
+            {
+                "host": [key[0]],
+                "n_pages": [n],
+                "n_keep": [k],
+                "keep_rate": [k / n if n else 0.0],
+            }
+        )
+
+    return scored.groupBy("host").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_keep_rates(
     pages,
     time_col: str = "warc_ts",
