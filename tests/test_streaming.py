@@ -66,6 +66,45 @@ def test_cross_batch_dedup_flags_second_occurrence(spark, tmp_path):
     assert first.where(F.array_contains("reasons", "cross_batch_duplicate")).count() == 0
 
 
+def test_cross_batch_dedup_is_state_store_not_sink_scan(spark, tmp_path):
+    """O(batch) per trigger: the seen-hash set lives in the streaming
+    state store, so dedup verdicts survive the SINK being deleted between
+    triggers — impossible for a design that re-reads prior sink
+    partitions. Also covers scheme-insensitive key parity (same text under
+    an HTTPS:// url still collides)."""
+    import shutil
+
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    pages = generate_pages(spark, 40, seed=11).select(
+        "url", "warc_ts", "html", "text", "lang"
+    ).localCheckpoint()
+    pages.write.parquet(src)
+    q = stream_quality_pipeline(spark, src, out, ckpt, n_parts=2)
+    q.awaitTermination(300)
+
+    # destroy every prior sink partition; the state store must still know
+    shutil.rmtree(out)
+
+    clones = pages.withColumn(
+        "url", F.concat(F.lit("HTTPS://clone.example/"), F.col("url"))
+    )
+    clones.write.mode("append").parquet(src)
+    q2 = stream_quality_pipeline(spark, src, out, ckpt, n_parts=2)
+    q2.awaitTermination(300)
+
+    second = spark.read.parquet(out).where(
+        F.col("url").startswith("HTTPS://clone.example/")
+    )
+    n_hashable = second.where(F.col("content_hash").isNotNull()).count()
+    assert n_hashable > 0
+    flagged = second.where(F.array_contains("reasons", "cross_batch_duplicate"))
+    assert flagged.count() == n_hashable
+    assert flagged.where(F.col("keep")).count() == 0
+
+
 def test_replayed_batch_is_idempotent(spark, tmp_path):
     """Simulated replay (fresh checkpoint, same input, same output): the
     batch_id partitions are dynamically overwritten, not appended."""

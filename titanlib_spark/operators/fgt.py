@@ -63,9 +63,11 @@ def fgt(
         # sigma_b = 0 (per-row background uncertainty): dev/0 would abort
         # under ANSI mode; keep the IEEE reading — any deviation over zero
         # uncertainty is infinitely suspicious (sorts worst), while a
-        # zero/zero row is unscorable (NULL: out of stats and verdicts)
+        # zero/zero row is unscorable (NULL: out of stats and verdicts).
+        # A NULL sigma_b stays NULL (unknown uncertainty is not zero
+        # uncertainty — the inf branch is reserved for sb == 0 exactly).
         chi = F.when(sb > 0, dev / sb).otherwise(
-            F.when(dev > 0, F.lit(float("inf")))
+            F.when(sb.isNotNull() & (dev > 0), F.lit(float("inf")))
         )
         scored = good.withColumn("_chi", chi)
 
@@ -84,7 +86,10 @@ def fgt(
                 (
                     F.expr("percentile(_chi, 0.75)") - F.expr("percentile(_chi, 0.25)")
                 ).alias("_sigma"),
-                F.count(F.lit(1)).alias("_n_stat"),
+                # count the same population the percentiles see (non-NULL
+                # chi): an sb=0,dev=0 row is unscorable and must not
+                # inflate the sqrt(n) term
+                F.count(F.col("_chi")).alias("_n_stat"),
             )
         )
         joined = scored.join(stats, on=group_cols, how="left")

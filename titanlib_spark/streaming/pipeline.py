@@ -12,29 +12,40 @@ batch's partitions — a replayed micro-batch (same batch_id after a crash)
 rewrites exactly its own output instead of appending duplicates; Spark's
 streaming checkpoint owns the source offsets.
 
-Cross-batch dedup: each micro-batch anti-checks its content hashes
-against the hashes already written by EARLIER batches (batch_id pruning
-keeps the lookback scan cheap: it reads one hash column of prior
-partitions only). A page whose extracted text already shipped is kept in
-the output for lineage but flagged `cross_batch_duplicate` with
-keep=false. Within-batch duplicates are handled by the pipeline itself.
+Cross-batch dedup is a STATE-STORE operator, not a sink re-scan: the
+stream is keyed by the row-local content key (md5 of the effective
+extracted text — identical to the pipeline's content_hash) and an
+applyInPandasWithState stage marks rows whose key was seen in an earlier
+micro-batch. Work per trigger is O(batch) — the state store holds the
+seen-key set, lookups are keyed, and nothing ever re-reads prior sink
+partitions (the previous design scanned every prior batch's hash column
+per trigger: O(total history)). State commits atomically with the source
+offsets in the streaming checkpoint, so a replayed batch sees the
+pre-batch state — dedup verdicts are replay-stable. A page whose text
+already shipped is kept in the output for lineage but flagged
+`cross_batch_duplicate` with keep=false; within-batch duplicates are
+handled by the pipeline itself. The keyed stage shuffles the micro-batch
+once by content key (bounded by trigger size; at web scale, size triggers
+accordingly).
 
 `trigger=availableNow` drains the backlog and stops — the incremental-
 batch mode the north rule's resumability requirement describes; leave
 `trigger=None` for continuous tailing.
-
-Per-host stateful checks across micro-batches (the applyInPandasWithState
-route) are intentionally NOT enabled by default: the perplexity outlier
-stage falls back to the global background for thin slices, so micro-batch
-locality only affects borderline z-scores. Run the batch pipeline for
-final-quality decisions; use streaming for low-latency triage.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from titanlib_spark.flags import BAD
 from titanlib_spark.webtext.pipeline import QualityFilterConfig, run_quality_pipeline
@@ -45,6 +56,75 @@ OUT_COLS = [
     "pred_lang_score", "flags", "keep", "reasons", "scrubbed_text",
     "content_hash",
 ]
+
+# singleton-key prefix for rows with no hashable text: the state stage
+# passes them through unmarked and stores nothing for them
+_NOHASH = "_nohash_"
+
+
+# DataType object, not a DDL string: string parsing needs an active
+# session, which doesn't exist at import time
+@F.pandas_udf(StringType())
+def _content_key(text: pd.Series, html: pd.Series) -> pd.Series:
+    """Row-local cross-batch dedup key: md5 of the EFFECTIVE text — the
+    same bytes features.analyze_batch hashes into content_hash (null-text
+    rows extract from html first), so state-store verdicts agree with the
+    pipeline's within-batch dedup keys. Empty docs are non-hashable."""
+    import hashlib
+
+    from titanlib_spark.webtext.extract import extract_text_py
+
+    out = []
+    hvals = html.to_numpy(dtype=object)
+    for i, t in enumerate(text.to_numpy(dtype=object)):
+        if (t is None or not isinstance(t, str)) and hvals[i] is not None:
+            t = extract_text_py(bytes(hvals[i]))
+        if isinstance(t, str) and t.strip():
+            out.append(hashlib.md5(t.encode("utf-8")).hexdigest())
+        else:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+def mark_cross_batch_dups(stream: DataFrame, url_col: str = "url") -> DataFrame:
+    """Hash-keyed applyInPandasWithState stage: appends `_xb_dup` (boolean)
+    — true iff the row's content key was first seen in an EARLIER
+    micro-batch. O(batch) per trigger; the seen-key set lives in the
+    streaming state store, never in the sink."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = stream.withColumn(
+        "_xb_key",
+        F.coalesce(
+            _content_key(F.col("text"), F.col("html")),
+            F.concat(F.lit(_NOHASH), F.col(url_col)),
+        ),
+    )
+    # rule 4: never mutate a cached schema object in place
+    out_schema = StructType(
+        list(keyed.schema.fields) + [StructField("_xb_dup", BooleanType())]
+    )
+    state_schema = StructType([StructField("n_seen", LongType())])
+
+    def update(key, pdfs, state):
+        unhashable = key[0].startswith(_NOHASH)
+        seen_before = state.exists
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+            pdf["_xb_dup"] = bool(seen_before and not unhashable)
+            yield pdf
+        if not unhashable:
+            prev = state.get[0] if state.exists else 0
+            state.update((prev + n,))
+
+    return keyed.groupBy("_xb_key").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    ).drop("_xb_key")
 
 
 def stream_quality_pipeline(
@@ -58,9 +138,9 @@ def stream_quality_pipeline(
     input_format: str = "parquet",
     cross_batch_dedup: bool = True,
 ):
-    """readStream(pages files) -> foreachBatch(quality pipeline +
-    cross-batch dedup) -> idempotent batch-partitioned salted parquet.
-    Returns the StreamingQuery."""
+    """readStream(pages files) -> [state-store cross-batch dedup] ->
+    foreachBatch(quality pipeline) -> idempotent batch-partitioned salted
+    parquet. Returns the StreamingQuery."""
     cfg = cfg or QualityFilterConfig(
         # iterative per-host refinement is batch-scope; within a micro-batch
         # run a single outlier pass against the global background
@@ -72,20 +152,8 @@ def stream_quality_pipeline(
     if input_format in ("parquet", "json", "csv"):
         reader = reader.schema(PAGES_SCHEMA)
     stream = reader.load(input_path)
-
-    def _prior_hashes(batch_id: int):
-        """Distinct content hashes written by batches < batch_id.
-        Column-pruned, partition-pruned scan of the sink itself."""
-        try:
-            prior = spark.read.parquet(output_path)
-        except AnalysisException:
-            return None
-        return (
-            prior.where(F.col("batch_id") < batch_id)
-            .select("content_hash")
-            .where(F.col("content_hash").isNotNull())
-            .distinct()
-        )
+    if cross_batch_dedup:
+        stream = mark_cross_batch_dups(stream, url_col=cfg.url_col)
 
     def process_batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -94,28 +162,24 @@ def stream_quality_pipeline(
         if "content_hash" not in result.columns:
             result = result.withColumn("content_hash", F.lit(None).cast("string"))
         if cross_batch_dedup:
-            seen = _prior_hashes(batch_id)
-            if seen is not None:
-                hit = seen.withColumn("_seen", F.lit(True))
-                result = result.join(hit, on="content_hash", how="left")
-                is_xdup = F.coalesce(F.col("_seen"), F.lit(False))
-                result = (
-                    result.withColumn(
-                        "reasons",
-                        F.when(
-                            is_xdup,
-                            F.array_union(
-                                F.col("reasons"),
-                                F.array(F.lit("cross_batch_duplicate")),
-                            ),
-                        ).otherwise(F.col("reasons")),
-                    )
-                    .withColumn(
-                        "flags", F.when(is_xdup, F.lit(BAD)).otherwise(F.col("flags"))
-                    )
-                    .withColumn("keep", F.col("keep") & ~is_xdup)
-                    .drop("_seen")
+            is_xdup = F.coalesce(F.col("_xb_dup"), F.lit(False))
+            result = (
+                result.withColumn(
+                    "reasons",
+                    F.when(
+                        is_xdup,
+                        F.array_union(
+                            F.col("reasons"),
+                            F.array(F.lit("cross_batch_duplicate")),
+                        ),
+                    ).otherwise(F.col("reasons")),
                 )
+                .withColumn(
+                    "flags", F.when(is_xdup, F.lit(BAD)).otherwise(F.col("flags"))
+                )
+                .withColumn("keep", F.col("keep") & ~is_xdup)
+                .drop("_xb_dup")
+            )
         out = result.withColumn(
             "part_id",
             F.pmod(F.xxhash64(F.col(cfg.url_col)), F.lit(int(n_parts))).cast("int"),
@@ -135,12 +199,24 @@ def stream_quality_pipeline(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
+    if cross_batch_dedup:
+        writer = writer.outputMode("update")
     return writer.start()
+
+
+def host_key(url_col: str = "url") -> F.Column:
+    """Host of a URL, scheme matched case-insensitively (HTTPS:// and
+    scheme-relative //host/ both resolve); rows with no extractable host
+    yield '' — callers filter them rather than sharing one state key."""
+    return F.regexp_extract(
+        F.col(url_col), r"(?i)^(?:[a-z][a-z0-9+.-]*:)?//([^/]+)", 1
+    )
 
 
 def running_host_quality(
     pages,
     url_col: str = "url",
+    text_col: str = "text",
     min_words: int = 30,
 ):
     """Custom stateful streaming operator via applyInPandasWithState:
@@ -149,24 +225,16 @@ def running_host_quality(
     operator is O(batch) per trigger and survives restarts through the
     streaming checkpoint — the pattern for cross-batch host reputations
     (a host whose keep-rate decays gets demoted without replaying
-    history). Emits one (host, n_pages, n_keep, keep_rate) row per host
-    per batch in update mode."""
-    import pandas as pd
+    history). Rows with no extractable host are dropped (they would all
+    share one '' state key). Emits one (host, n_pages, n_keep, keep_rate)
+    row per host per batch in update mode."""
     from pyspark.sql.streaming.state import GroupStateTimeout
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
 
-    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    keep = (F.col("text").isNotNull() & (toks >= int(min_words))).cast("long")
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    keep = (F.col(text_col).isNotNull() & (toks >= int(min_words))).cast("long")
     scored = pages.select(
-        F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)", 1).alias("host"),
-        keep.alias("_keep"),
-    )
+        host_key(url_col).alias("host"), keep.alias("_keep")
+    ).where(F.col("host") != "")
 
     out_schema = StructType(
         [
@@ -207,6 +275,7 @@ def running_host_quality(
 def windowed_keep_rates(
     pages,
     time_col: str = "warc_ts",
+    text_col: str = "text",
     watermark: str = "2 hours",
     window_len: str = "1 hour",
     min_words: int = 30,
@@ -223,8 +292,8 @@ def windowed_keep_rates(
     stay in stream_quality_pipeline's foreachBatch. Returns a streaming
     DataFrame (window_start, window_end, n_pages, n_keep) — attach a sink
     with outputMode("update") (or "append" for finalized-only windows)."""
-    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    keep = F.col("text").isNotNull() & (toks >= int(min_words))
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    keep = F.col(text_col).isNotNull() & (toks >= int(min_words))
     return (
         pages.withColumn("_keep", keep.cast("int"))
         .withWatermark(time_col, watermark)

@@ -387,6 +387,7 @@ def ngram_jaccard_pairs_lsh(
     bands: int = 16,
     max_bucket: int = 1000,
     hash_fn: str = "xxhash64",
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """EXACT n-gram Jaccard, but only over MinHash-LSH candidate pairs —
     the 100 TB composition (:func:`ngram_jaccard_pairs` is the unbounded
@@ -402,7 +403,16 @@ def ngram_jaccard_pairs_lsh(
     out to the three consumers (signatures, both sides of the verify join,
     sizes): gram generation is an interpreted-HOF expression that Spark
     would otherwise re-evaluate per plan branch (~4x, measured ~50s extra
-    at sf0.1)."""
+    at sf0.1). The RESULT is also materialized (eager localCheckpoint) so
+    the gram blocks can be unpersisted before returning — otherwise every
+    call leaks storage blocks for the life of the JVM (a 12x slowdown once
+    dead blocks squeeze execution memory, measured). The returned pairs
+    frame is tiny (near-dup pairs at `threshold`).
+
+    `broadcast_candidates` hints F.broadcast on the candidate-bounded
+    sides of the verify joins — the checkpointed ancestors carry no stats,
+    so AQE cannot discover they are small. Disable it if the candidate
+    list itself is huge (very loose threshold over very dirty data)."""
     grams = df.select(
         F.col(id_col), word_ngrams(text_col, n).alias("_g")
     ).localCheckpoint(eager=True)
@@ -415,8 +425,9 @@ def ngram_jaccard_pairs_lsh(
     )
     ex = grams.select(F.col(id_col), F.explode(F.col("_g")).alias("gram"))
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    maybe_bc = F.broadcast if broadcast_candidates else (lambda d: d)
     # grams of the a-side of each candidate pair, matched against b's grams
-    a_grams = cands.join(ex.withColumnRenamed(id_col, "id_a"), on="id_a")
+    a_grams = ex.withColumnRenamed(id_col, "id_a").join(maybe_bc(cands), on="id_a")
     inter = (
         a_grams.alias("ag")
         .join(
@@ -428,16 +439,19 @@ def ngram_jaccard_pairs_lsh(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     out = (
-        inter.select(F.col("id_a"), F.col("id_b"), "inter")
-        .join(sizes.withColumnsRenamed({id_col: "id_a", "_sz": "sz_a"}), on="id_a")
+        sizes.withColumnsRenamed({id_col: "id_a", "_sz": "sz_a"})
+        .join(maybe_bc(inter.select(F.col("id_a"), F.col("id_b"), "inter")), on="id_a")
         .join(sizes.withColumnsRenamed({id_col: "id_b", "_sz": "sz_b"}), on="id_b")
     )
     jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
-    return (
+    pairs = (
         out.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+        .localCheckpoint(eager=True)
     )
+    grams.unpersist()
+    return pairs
 
 
 def ngram_jaccard_pairs(

@@ -125,15 +125,26 @@ def embedding_near_dup_pairs(
     thresholds >= 0.8."""
     @F.pandas_udf("double")
     def _batch_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        # Zero-norm and NULL vectors yield SQL NULL (never pass a >=
+        # threshold), matching the guarded Column-level cosine(): Spark
+        # orders NaN above all doubles, so an unguarded 0/0 would make a
+        # zero embedding pair with every row it meets.
         if len(va) == 0:
-            return pd.Series([], dtype=float)
-        A = np.stack(va.to_numpy())
-        B = np.stack(vb.to_numpy())
-        num = np.einsum("ij,ij->i", A, B)
-        den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
-            np.einsum("ij,ij->i", B, B)
-        )
-        return pd.Series(num / den)
+            return pd.Series([], dtype="Float64")
+        ok = va.notna() & vb.notna()
+        out = np.full(len(va), np.nan)
+        if ok.any():
+            A = np.stack(va[ok].to_numpy())
+            B = np.stack(vb[ok].to_numpy())
+            num = np.einsum("ij,ij->i", A, B)
+            den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
+                np.einsum("ij,ij->i", B, B)
+            )
+            out[ok.to_numpy()] = np.where(
+                den > 0, num / np.where(den > 0, den, 1.0), np.nan
+            )
+        # float64 -> nullable Float64 turns NaN into pd.NA -> Spark NULL
+        return pd.Series(out).astype("Float64")
 
     cond = F.col("id_a") < F.col("id_b")
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
