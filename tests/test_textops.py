@@ -164,3 +164,46 @@ def test_multimodal_plumbing(spark):
     assert frames.count() >= vids.count()
     spec = resize_spec(imgs.fillna(0, ["width", "height"]), max_side=16).collect()
     assert all(r.target_width <= 16 and r.target_height <= 16 for r in spec)
+
+
+def test_embedding_lsh_near_dup_recall_and_prune(spark):
+    """The realistic near-dup config (threshold 0.95, 16 planes x 16
+    tables): the gate must PRUNE (candidates << n^2/2) while recalling
+    ~all true near-dup pairs — the round-2 config at threshold 0.4 passed
+    ~83% of all pairs and was the O(n^2) join in disguise."""
+    from titanlib_spark.textops.similarity import (
+        embedding_near_dup_pairs,
+        lsh_candidate_pairs,
+    )
+
+    rng = np.random.default_rng(123)
+    n, dim = 300, 32
+    base = rng.standard_normal((n, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist()) for i in range(n)]
+    # plant 30 clones at cos ~0.97 (unit vectors, one component nudged)
+    for i in range(0, n, 10):
+        v = base[i].copy()
+        v[0] += 0.25
+        rows.append((i + 1_000_000, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    assert len(exact) >= 30  # every planted clone pair is a true near-dup
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.95, n_planes=16, dim=dim, n_tables=16
+        ).collect()
+    }
+    assert lsh <= exact  # gate + same verify: no false positives
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall}"
+
+    n_total = n + 30
+    n_cand = lsh_candidate_pairs(df, dim, 16, 16, vec_col="embedding").count()
+    all_pairs = n_total * (n_total - 1) // 2
+    assert n_cand < all_pairs * 0.05, f"{n_cand} of {all_pairs} — gate not pruning"

@@ -22,6 +22,7 @@ from titanlib_spark.textops.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
     lsh_bucketed_topk,
+    lsh_candidate_pairs,
 )
 from titanlib_spark.textops.stats import (
     token_count,
@@ -42,6 +43,7 @@ __all__ = [
     "cosine_topk",
     "embedding_near_dup_pairs",
     "lsh_bucketed_topk",
+    "lsh_candidate_pairs",
     "token_count",
     "bpe_ish_token_count",
     "fingerprint",
