@@ -117,8 +117,14 @@ def _buddy_event_model(lat, lon, elev, value, *, radius, num_min,
                        elev_gradient, num_iterations):
     """Reference buddy_event_check semantics (src/buddy_event_check.cpp:
     13-189): center event from the raw value, neighbor events from the
-    lapse-adjusted value; fraction mode below 1, count mode at >= 1."""
+    lapse-adjusted value; fraction mode below 1, count mode at >= 1.
+    num_min/event_threshold/threshold are scalars or length-n vectors
+    (the reference's per-observation convention: row i's parameters gate
+    row i's verdict AND convert its neighbors' values to events)."""
     n = len(lat)
+    num_min = np.broadcast_to(np.asarray(num_min), (n,))
+    event_threshold = np.broadcast_to(np.asarray(event_threshold, float), (n,))
+    threshold = np.broadcast_to(np.asarray(threshold, float), (n,))
     flags = np.where(np.isfinite(value), 0, 1)
     d2 = _chord2(lat, lon)
     use_elev = max_elev_diff > 0
@@ -133,20 +139,20 @@ def _buddy_event_model(lat, lon, elev, value, *, radius, num_min,
             if use_elev:
                 nb &= np.abs(elev[i] - elev) <= max_elev_diff
             cnt = int(nb.sum())
-            if cnt < num_min:
+            if cnt < num_min[i]:
                 continue
             adj = value[nb] + ((elev[i] - elev[nb]) * elev_gradient
                                if use_elev else 0.0)
-            n_event = int((adj < event_threshold).sum())
-            is_event = value[i] < event_threshold
-            if threshold < 1:
+            n_event = int((adj < event_threshold[i]).sum())
+            is_event = value[i] < event_threshold[i]
+            if threshold[i] < 1:
                 frac = n_event / cnt
-                bad = (is_event and frac <= threshold) or (
-                    not is_event and (1 - frac) <= threshold
+                bad = (is_event and frac <= threshold[i]) or (
+                    not is_event and (1 - frac) <= threshold[i]
                 )
             else:
-                bad = (is_event and n_event <= threshold) or (
-                    not is_event and (cnt - n_event) <= threshold
+                bad = (is_event and n_event <= threshold[i]) or (
+                    not is_event and (cnt - n_event) <= threshold[i]
                 )
             if bad:
                 new[i] = 1
@@ -418,6 +424,51 @@ def test_buddy_event_check_matches_brute_force(spark, pdf, radius, num_min,
         event_threshold=event_threshold, threshold=threshold,
         max_elev_diff=max_elev_diff, elev_gradient=-0.0065,
         num_iterations=iters,
+    )
+    got = {r["id"]: r["flags"] for r in out.select("id", "flags").collect()}
+    assert [got[i] for i in range(len(pdf))] == list(expected)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+@given(
+    pdf=stations(),
+    radius=st.floats(2_000, 30_000),
+    max_elev_diff=st.sampled_from([-1.0, 150.0]),
+    iters=st.integers(1, 2),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_buddy_event_check_vector_params_match_brute_force(
+    spark, pdf, radius, max_elev_diff, iters, seed
+):
+    """Per-row num_min / event_threshold / threshold vectors (reference
+    include/titanlib.h:287-296), including rows on BOTH sides of the
+    fraction/count mode split within one call."""
+    rng = np.random.default_rng(seed)
+    n = len(pdf)
+    pdf = pdf.copy()
+    pdf["nm"] = rng.integers(1, 5, n)
+    pdf["et"] = rng.uniform(-5.0, 5.0, n)
+    # mix fraction-mode (<1) and count-mode (>=1) rows in one vector
+    pdf["thr"] = np.where(
+        rng.random(n) < 0.5, rng.uniform(0.05, 0.9, n), rng.uniform(1.0, 3.0, n)
+    )
+    expected = _buddy_event_model(
+        pdf.lat.to_numpy(), pdf.lon.to_numpy(), pdf.elev.to_numpy(),
+        pdf.value.to_numpy(),
+        radius=radius, num_min=pdf.nm.to_numpy(),
+        event_threshold=pdf.et.to_numpy(), threshold=pdf.thr.to_numpy(),
+        max_elev_diff=max_elev_diff, elev_gradient=-0.0065,
+        num_iterations=iters,
+    )
+    out = buddy_event_check(
+        spark.createDataFrame(pdf), radius=radius, num_min="nm",
+        event_threshold="et", threshold="thr", max_elev_diff=max_elev_diff,
+        elev_gradient=-0.0065, num_iterations=iters,
     )
     got = {r["id"]: r["flags"] for r in out.select("id", "flags").collect()}
     assert [got[i] for i in range(len(pdf))] == list(expected)

@@ -64,17 +64,34 @@ def _buddy_event_stats(
     elev_col: str | None,
     max_elev_diff: float,
     elev_gradient: float,
-    event_threshold: float,
+    event_threshold,
     cell_size: float | None,
     coord_type: str = "geodetic",
 ) -> DataFrame:
     """Per-id buddy count + count of event buddies (adj value < threshold),
     for buddy_event_check — same undirected plan as _buddy_stats with the
-    event bit computed pre-explode."""
+    event bit computed pre-explode.
+
+    `event_threshold` is a scalar or a per-row column name (reference
+    length-N vector convention, include/titanlib.h:287-296): the event
+    conversion of a neighbor's adjusted value uses the QUERY row's
+    threshold (src/buddy_event_check.cpp:100-127), so with a column the
+    bit is direction-specific on the undirected pair row."""
+    et_is_col = isinstance(event_threshold, str)
+
+    def tf(adj, qside):
+        et = (
+            F.col(f"_p{qside}_{event_threshold}")
+            if et_is_col
+            else F.lit(float(event_threshold))
+        )
+        return (adj < et).cast("int")
+
     mirrored = _mirrored_adj_values(
         unflagged, radius, id_col, lat_col, lon_col, value_col, elev_col,
         max_elev_diff, elev_gradient, cell_size, coord_type,
-        transform=lambda adj: (adj < float(event_threshold)).cast("int"),
+        transform=tf,
+        extra_carry=(event_threshold,) if et_is_col else (),
     )
     return mirrored.groupBy(F.col("_d._q").alias(id_col)).agg(
         F.count("_d._v").alias("_n_buddies"),
@@ -95,6 +112,7 @@ def _mirrored_adj_values(
     cell_size: float | None,
     coord_type: str = "geodetic",
     transform=None,
+    extra_carry: tuple = (),
 ) -> DataFrame:
     """Undirected neighbor join -> per-direction lapse-adjusted values,
     exploded as minimal (_q, _v) structs.
@@ -104,9 +122,14 @@ def _mirrored_adj_values(
     aggregates only read struct fields — filters or arithmetic on
     post-explode struct fields drop out of the fast path (~20x, measured).
     A direction outside its query row's radius carries a NULL value, which
-    count()/avg()/var_pop()/sum() skip."""
+    count()/avg()/var_pop()/sum() skip.
+
+    `transform(adj, qside)` maps each direction's adjusted value; `qside`
+    ('a'|'b') names the QUERY row of that direction so per-query-row
+    parameter columns (carried via `extra_carry`) can be read as
+    _p{qside}_{col}."""
     use_elev = elev_col is not None and max_elev_diff > 0
-    carry = (value_col, elev_col) if use_elev else (value_col,)
+    carry = ((value_col, elev_col) if use_elev else (value_col,)) + tuple(extra_carry)
     und, _, per_row_radius = undirected_neighbor_pairs(
         unflagged,
         radius,
@@ -134,7 +157,7 @@ def _mirrored_adj_values(
         adj_ab = F.col(f"_pb_{value_col}")
         adj_ba = F.col(f"_pa_{value_col}")
     if transform is not None:
-        adj_ab, adj_ba = transform(adj_ab), transform(adj_ba)
+        adj_ab, adj_ba = transform(adj_ab, "a"), transform(adj_ba, "b")
     if per_row_radius:
         adj_ab = F.when(F.col("dist") <= F.col("_ra"), adj_ab)
         adj_ba = F.when(F.col("dist") <= F.col("_rb"), adj_ba)

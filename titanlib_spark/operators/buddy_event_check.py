@@ -27,9 +27,9 @@ from titanlib_spark.operators.range_check import is_invalid_value
 def buddy_event_check(
     df: DataFrame,
     radius,
-    num_min: int,
-    event_threshold: float,
-    threshold: float,
+    num_min: int | str,
+    event_threshold: float | str,
+    threshold: float | str,
     max_elev_diff: float = -1.0,
     elev_gradient: float = -0.0065,
     num_iterations: int = 1,
@@ -43,6 +43,12 @@ def buddy_event_check(
     cell_size: float | None = None,
     coord_type: str = "geodetic",
 ) -> DataFrame:
+    """`radius`, `num_min`, `event_threshold` and `threshold` each accept
+    a scalar or a per-row column name (the reference's length-N vector
+    convention, include/titanlib.h:287-296). With a column `threshold`,
+    the fraction-vs-count mode split (threshold < 1) is decided PER ROW,
+    exactly as the reference branches on threshold[i]
+    (src/buddy_event_check.cpp:143-155)."""
     df = ensure_flags(df, flag_col)
     df = apply_check_flags(
         df, F.when(is_invalid_value(F.col(value_col)), BAD).otherwise(GOOD), flag_col
@@ -56,23 +62,23 @@ def buddy_event_check(
         stats = _buddy_event_stats(
             unflagged, radius, id_col, lat_col, lon_col, value_col,
             elev_col if use_elev else None, max_elev_diff, elev_gradient,
-            float(event_threshold), cell_size, coord_type,
+            event_threshold, cell_size, coord_type,
         )
         joined = df.join(stats, on=id_col, how="left")
-        is_event = F.col(value_col) < float(event_threshold)
+        _pcol = lambda v, cast: F.col(v) if isinstance(v, str) else F.lit(cast(v))
+        thr = _pcol(threshold, float)
+        is_event = F.col(value_col) < _pcol(event_threshold, float)
         frac = F.col("_n_event") / F.col("_n_buddies")
-        if threshold < 1:
-            disagree = (is_event & (frac <= float(threshold))) | (
-                (~is_event) & ((1 - frac) <= float(threshold))
-            )
-        else:
-            disagree = (is_event & (F.col("_n_event") <= float(threshold))) | (
-                (~is_event)
-                & ((F.col("_n_buddies") - F.col("_n_event")) <= float(threshold))
-            )
+        disagree_frac = (is_event & (frac <= thr)) | (
+            (~is_event) & ((1 - frac) <= thr)
+        )
+        disagree_count = (is_event & (F.col("_n_event") <= thr)) | (
+            (~is_event) & ((F.col("_n_buddies") - F.col("_n_event")) <= thr)
+        )
+        disagree = F.when(thr < 1, disagree_frac).otherwise(disagree_count)
         verdict = (
             F.col("_n_buddies").isNotNull()
-            & (F.col("_n_buddies") >= int(num_min))
+            & (F.col("_n_buddies") >= _pcol(num_min, int))
             & disagree
         )
         if obs_to_check is not None:
