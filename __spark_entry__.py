@@ -128,6 +128,57 @@ pr AS (
   FROM st t JOIN st o ON o.p = t.p AND o.m = 1 - t.m
 )"""
 
+# SQL twin of _sct_triplets_geo: same integer arithmetic, same literal
+# sums, widened to one row per triplet (members a/b/c by m).
+_SCT_TRIPLETS_SQL = """
+idx3 AS (
+  SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) - 1 AS i
+  FROM customer
+),
+st3 AS (
+  SELECT c_custkey, i, i // 3 AS t, i % 3 AS m,
+         -30.0 + ((i // 3) % 40) * 1.5
+           + (CASE WHEN i % 3 = 1 THEN 0.01 + ((i // 3) % 5) * 0.005
+                   WHEN i % 3 = 2 THEN 0.03 + ((i // 3) % 7) * 0.007
+                   ELSE 0.0 END) AS lat,
+         -100.0 + ((i // 3) // 40) * 2.0 AS lon,
+         ((i // 3) * 37 % 97) * 1.5 + (i % 3) * (30.0 + ((i // 3) % 4) * 15.0) AS elev,
+         (CAST(c_custkey AS BIGINT) * c_custkey * 2654435761 + 12345)
+           % 1000000 % 1000 / CAST(50.0 AS DOUBLE)
+           + (CASE WHEN i % 3 = 0 AND (i // 3) % 4 = 1 THEN 12.0 ELSE 0.0 END) AS value,
+         1.0 + (i % 4) * 0.25 AS pos_t,
+         1.1 + (i % 3) * 0.3 AS neg_t,
+         0.3 + (i % 3) * 0.35 AS tpos_t,
+         0.4 + (i % 2) * 0.45 AS tneg_t,
+         0.5 + (i % 5) * 1.5 AS tdual_t
+  FROM idx3 WHERE i < 450
+),
+tw AS (
+  SELECT a.t,
+         a.c_custkey AS ka, b.c_custkey AS kb, c.c_custkey AS kc,
+         a.lat AS lat_a, b.lat AS lat_b, c.lat AS lat_c, a.lon AS lon,
+         a.elev AS ea, b.elev AS eb, c.elev AS ec,
+         a.value AS va, b.value AS vb, c.value AS vc,
+         a.pos_t AS pos_a, b.pos_t AS pos_b, c.pos_t AS pos_c,
+         a.neg_t AS neg_a, b.neg_t AS neg_b, c.neg_t AS neg_c,
+         a.tpos_t AS tpos_a, a.tneg_t AS tneg_a, a.tdual_t AS tdual_a
+  FROM st3 a JOIN st3 b ON b.t = a.t AND b.m = 1
+             JOIN st3 c ON c.t = a.t AND c.m = 2
+  WHERE a.m = 0
+)"""
+
+
+def _gc3(lat1: str, lat2: str) -> str:
+    """Great-circle distance twin of operators/sct._geodetic_dist_matrix
+    (shared lon within a triplet, so the lon term is cos(0) = 1 exactly on
+    both engines; clip + acos + radius mirror the numpy expression)."""
+    return (
+        f"acos(least(1.0, greatest(-1.0,"
+        f" cos(radians({lat1})) * cos(radians({lat2}))"
+        f" * cos(radians(lon) - radians(lon))"
+        f" + sin(radians({lat1})) * sin(radians({lat2}))))) * 6378137.0"
+    )
+
 
 def _pairs_sql(radius: float) -> str:
     r2 = float(radius) * float(radius)
@@ -574,6 +625,64 @@ def _sct_pairs_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sct_triplets_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isolated station TRIPLETS for the dense-path SCT value oracles.
+
+    The 2-point pair oracles (see _sct_pairs_geo) verify the full verdict
+    chain but the OI algebra degenerates: S is [[c,r],[r,c]]. A 3-point
+    neighborhood exercises the GENERAL path — 3x3 inversion (DuckDB: the
+    adjugate in closed form), interpolated-quantile Dh over multiple
+    distances, robust stats (median/IQR) over a multi-element chi vector,
+    median background over >2 values, 2-vs-1 event-class splits — while
+    every step stays SQL-expressible.
+
+    Geometry: triplets on the same isolated 1.5 x 2 deg grid; members are
+    collinear on one meridian at lat offsets 0 / (0.01 + 0.005*(t%5)) /
+    (0.03 + 0.007*(t%7)) — 35 distinct geometry combinations, all members
+    within 8 km (deep inside inner_radius=20 km), triplets >= 111 km
+    apart (far beyond outer_radius=50 km). Elevation steps 30..75 m keep
+    the elev spread under min_elev_diff so the vertical-profile entry
+    reduces to the mean. Every 4th triplet's first member gets a +12
+    value bump (planted gross error) so both verdict branches populate.
+
+    `obs` marks only member 0 testable: for the worst-offender operators
+    (sct_resistant / sct_dual) this pins the single test row, making the
+    three-phase flow collapse to one closed-form verdict per triplet
+    (phase 3 re-tests reproduce the identical z). The plain sct flags all
+    exceeders in one sweep, so all three members carry verdicts there."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    w = Window.orderBy("c_custkey")
+    b = c.withColumn("i", F.row_number().over(w) - 1).where(F.col("i") < 450)
+    i = F.col("i")
+    t = F.expr("i div 3")
+    m = i % 3
+    dlat1 = F.lit(0.01) + (t % 5) * F.lit(0.005)
+    dlat2 = F.lit(0.03) + (t % 7) * F.lit(0.007)
+    off = F.when(m == 1, dlat1).when(m == 2, dlat2).otherwise(F.lit(0.0))
+    h = (
+        F.col("c_custkey").cast("bigint") * F.col("c_custkey") * 2654435761
+        + 12345
+    ) % 1000000
+    bump = F.when((m == 0) & (t % 4 == 1), F.lit(12.0)).otherwise(F.lit(0.0))
+    return b.select(
+        F.col("c_custkey").cast("bigint").alias("id"),
+        i.alias("i"),
+        m.alias("m"),
+        (F.lit(-30.0) + (t % 40) * F.lit(1.5) + off).alias("lat"),
+        (F.lit(-100.0) + F.expr("(i div 3) div 40") * F.lit(2.0)).alias("lon"),
+        ((t * 37 % 97) * F.lit(1.5) + m * (F.lit(30.0) + (t % 4) * F.lit(15.0))).alias("elev"),
+        ((h % 1000) / F.lit(50.0) + bump).alias("value"),
+        F.when(m == 0, F.lit(1)).otherwise(F.lit(0)).alias("obs"),
+        (F.lit(1.0) + (i % 4) * F.lit(0.25)).alias("pos_t"),
+        (F.lit(1.1) + (i % 3) * F.lit(0.3)).alias("neg_t"),
+        # non-basic z over a 3-element chi vector is bounded ~1.27 (the
+        # outlier inflates its own IQR), so these sit inside that range
+        (F.lit(0.3) + (i % 3) * F.lit(0.35)).alias("tpos_t"),
+        (F.lit(0.4) + (i % 2) * F.lit(0.45)).alias("tneg_t"),
+        (F.lit(0.5) + (i % 5) * F.lit(1.5)).alias("tdual_t"),
+    )
+
+
 def q_sct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCT on isolated pairs: full OI chain (mean background, Gaussian S,
     inversion, cvres/ares/sig2o/pog, per-row pos/neg thresholds) with a
@@ -601,21 +710,35 @@ def q_sct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sct_general(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dense multi-neighbor configuration (rows-only: n x n OI inversion
-    has no SQL twin; unit goldens in tests/test_sct_golden.py cover it)."""
-    geo = _customer_geo(spark, sf_dir)
+    """SCT on 3-point neighborhoods — the general (non-degenerate) OI
+    path with a closed-form DuckDB twin: 3x3 adjugate inversion,
+    interpolated 10th-percentile Dh over per-row distance vectors,
+    vertical-profile entry (flat spread -> mean), per-row pos/neg, all
+    three members flagged in one sweep. Reference src/sct.cpp:120-306.
+    (Denser n>3 circles are covered by tests/test_sct_golden.py — an n x n
+    LAPACK inversion has no bit-stable SQL twin.)"""
+    geo = _sct_triplets_geo(spark, sf_dir)
     out = sct(
         geo,
-        num_min=5,
-        num_max=20,
-        inner_radius=5000.0,
-        outer_radius=20000.0,
+        num_min=3,
+        num_max=10,
+        inner_radius=20000.0,
+        outer_radius=50000.0,
         num_iterations=1,
-        num_min_prof=10000,  # force mean background (grid elevs are synthetic)
-        pos=8.0,
-        neg=8.0,
+        num_min_prof=0,  # vertical-profile entry; flat spread -> mean
+        min_elev_diff=200.0,
+        min_horizontal_scale=1000.0,
+        vertical_scale=200.0,
+        pos="pos_t",
+        neg="neg_t",
+        eps2=0.5,
     )
-    return out.select(F.col("id").alias("c_custkey"), F.col("flags").alias("qc_flag"))
+    pog = F.col("prob_gross_error")
+    return out.select(
+        F.col("id").alias("c_custkey"),
+        F.col("flags").alias("qc_flag"),
+        F.round(F.when(F.isnan(pog), F.lit(None)).otherwise(pog), 4).alias("pog"),
+    )
 
 
 def q_sct_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -644,15 +767,27 @@ def q_sct_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sct_dual_general(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dense multi-neighbor configuration (rows-only; unit tests cover)."""
-    geo = _customer_geo(spark, sf_dir)
+    """SCT-dual on 3-point neighborhoods — the general event-split path
+    with a closed-form DuckDB twin: 2-vs-1 class partitions (2x2 + 1x1
+    per-class inversions), kth-closest Dh, information-content z with the
+    w_idiv gate, single-class shortcut; obs pins the test row so the
+    worst-offender sweep is order-free. Reference src/sct_dual.cpp:25-1014."""
+    geo = _sct_triplets_geo(spark, sf_dir)
     out = sct_dual(
         geo,
         event_threshold=5.0,
-        condition="Lt",
-        test_threshold=0.5,
-        outer_radius=20000.0,
-        num_iterations=1,
+        condition="Gt",
+        test_threshold="tdual_t",
+        outer_radius=50000.0,
+        num_min_outer=3,
+        num_max_outer=10,
+        num_iterations=10,
+        min_horizontal_scale=250.0,
+        max_horizontal_scale=100000.0,
+        kth_closest=2,
+        vertical_scale=200.0,
+        accept_isolated=False,
+        obs_to_check="obs",
     )
     return out.select(F.col("id").alias("c_custkey"), F.col("flags").alias("qc_flag"))
 
@@ -742,23 +877,42 @@ def q_sct_resistant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sct_resistant_general(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dense multi-neighbor configuration (rows-only; seeded-error unit
-    tests in tests/test_sct_resistant.py cover it)."""
+    """SCT-resistant on 3-point neighborhoods — the general NON-basic
+    path with a closed-form DuckDB twin: median background over 3,
+    kth-closest Dh, 3x3 adjugate OI, robust stats (median + interpolated
+    IQR) over the 3-element chi vector, z = (chi-mu)/(sigma+sigma/sqrt(n)),
+    per-row tpos/tneg; obs pins the single test row (the worst-offender
+    sweep and phase-3 re-test then reproduce one closed-form verdict).
+    Reference src/sct_resistant.cpp:26-1062. (Denser circles: seeded-error
+    tests in tests/test_sct_resistant.py.)"""
     from titanlib_spark.operators import sct_resistant
 
-    geo = _customer_geo(spark, sf_dir)
+    geo = _sct_triplets_geo(spark, sf_dir)
     out = sct_resistant(
         geo,
         background_elab_type="median_outer_circle",
-        num_min_outer=5,
-        num_max_outer=30,
-        inner_radius=5000.0,
-        outer_radius=20000.0,
-        num_iterations=3,
-        tpos=6.0,
-        tneg=6.0,
+        num_min_outer=3,
+        num_max_outer=10,
+        inner_radius=20000.0,
+        outer_radius=50000.0,
+        num_iterations=10,
+        min_horizontal_scale=250.0,
+        max_horizontal_scale=100000.0,
+        kth_closest=2,
+        vertical_scale=200.0,
+        eps2=0.5,
+        tpos="tpos_t",
+        tneg="tneg_t",
+        basic=False,
+        accept_isolated=False,
+        obs_to_check="obs",
     )
-    return out.select(F.col("id").alias("c_custkey"), F.col("flags").alias("qc_flag"))
+    sc = F.col("score")
+    return out.select(
+        F.col("id").alias("c_custkey"),
+        F.col("flags").alias("qc_flag"),
+        F.round(F.when(F.isnan(sc), F.lit(None)).otherwise(sc), 4).alias("score"),
+    )
 
 
 def q_range_check_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1639,6 +1793,248 @@ SELECT c_custkey,
             WHEN cross_i >= 0.45 AND cross_i * ln(cross_i / 0.001) > tdual_t THEN 1
             ELSE 0 END AS qc_flag
 FROM k
+"""
+
+    # --- SCT family, 3-point neighborhoods (see _sct_triplets_geo) --------
+    # The 3x3 OI inverts in closed form via the adjugate; medians/IQRs over
+    # 3 elements are exact/one-lerp expressions; the great-circle distances
+    # replay the numpy formula (engine trig differs by ~1 ulp -> ~1e-8 on
+    # pog/z, against >= 1e-3 decision margins and round(x, 4) outputs;
+    # margins verified by scratch/sct_triplet_margins.py).
+    _tg3 = f"""
+tg AS (
+  SELECT *,
+    {_gc3("lat_a", "lat_b")} AS dab,
+    {_gc3("lat_a", "lat_c")} AS dac,
+    {_gc3("lat_b", "lat_c")} AS dbc,
+    abs(ea - eb) AS dzab, abs(ea - ec) AS dzac, abs(eb - ec) AS dzbc
+  FROM tw
+)"""
+
+    def _adj3(c: str) -> str:
+        """det + 3x3 adjugate inverse entries for symmetric S with constant
+        diagonal `c` and off-diagonals rab/rac/rbc (columns in scope)."""
+        return f"""
+    {c} * ({c} * {c} - rbc * rbc) - rab * (rab * {c} - rbc * rac)
+      + rac * (rab * rbc - {c} * rac) AS det,
+    ({c} * {c} - rbc * rbc) AS n_aa,
+    (rac * rbc - rab * {c}) AS n_ab,
+    (rab * rbc - {c} * rac) AS n_ac,
+    ({c} * {c} - rac * rac) AS n_bb,
+    (rab * rac - {c} * rbc) AS n_bc,
+    ({c} * {c} - rab * rab) AS n_cc"""
+
+    sql["sct_general"] = f"""
+WITH {_SCT_TRIPLETS_SQL},
+{_tg3},
+dh AS (
+  SELECT *,
+    least(dab, dac) + (greatest(dab, dac) - least(dab, dac)) * 0.1 AS q_a,
+    least(dab, dbc) + (greatest(dab, dbc) - least(dab, dbc)) * 0.1 AS q_b,
+    least(dac, dbc) + (greatest(dac, dbc) - least(dac, dbc)) * 0.1 AS q_c
+  FROM tg
+),
+sm AS (
+  SELECT *,
+    greatest(((q_a + q_b) + q_c) / 3.0, 1000.0) AS dhm,
+    ((va + vb) + vc) / 3.0 AS yb
+  FROM dh
+),
+cov AS (
+  SELECT *,
+    exp(-0.5 * ((dab / dhm) * (dab / dhm)) - 0.5 * ((dzab / 200.0) * (dzab / 200.0))) AS rab,
+    exp(-0.5 * ((dac / dhm) * (dac / dhm)) - 0.5 * ((dzac / 200.0) * (dzac / 200.0))) AS rac,
+    exp(-0.5 * ((dbc / dhm) * (dbc / dhm)) - 0.5 * ((dzbc / 200.0) * (dzbc / 200.0))) AS rbc,
+    va - ((va + vb) + vc) / 3.0 AS da,
+    vb - ((va + vb) + vc) / 3.0 AS db,
+    vc - ((va + vb) + vc) / 3.0 AS dc
+  FROM sm
+),
+inv AS (
+  SELECT *, {_adj3("1.5")}
+  FROM cov
+),
+sd AS (
+  SELECT *,
+    (n_aa / det) * da + (n_ab / det) * db + (n_ac / det) * dc AS sda,
+    (n_ab / det) * da + (n_bb / det) * db + (n_bc / det) * dc AS sdb,
+    (n_ac / det) * da + (n_bc / det) * db + (n_cc / det) * dc AS sdc
+  FROM inv
+),
+res AS (
+  SELECT *,
+    (sda + rab * sdb + rac * sdc) - da AS ares_a,
+    (rab * sda + sdb + rbc * sdc) - db AS ares_b,
+    (rac * sda + rbc * sdb + sdc) - dc AS ares_c,
+    -(1.0 / (n_aa / det)) * sda AS cvres_a,
+    -(1.0 / (n_bb / det)) * sdb AS cvres_b,
+    -(1.0 / (n_cc / det)) * sdc AS cvres_c
+  FROM sd
+),
+pg AS (
+  SELECT *,
+    greatest(((da * (-ares_a) + db * (-ares_b)) + dc * (-ares_c)) / 3.0, 0.01) AS sig2o
+  FROM res
+),
+verdict AS (
+  SELECT *,
+    cvres_a * ares_a / sig2o AS pog_a,
+    cvres_b * ares_b / sig2o AS pog_b,
+    cvres_c * ares_c / sig2o AS pog_c
+  FROM pg
+)
+SELECT ka AS c_custkey,
+       CASE WHEN cvres_a < 0 AND pog_a > pos_a THEN 1
+            WHEN cvres_a >= 0 AND pog_a > neg_a THEN 1 ELSE 0 END AS qc_flag,
+       round(pog_a, 4) AS pog
+FROM verdict
+UNION ALL
+SELECT kb, CASE WHEN cvres_b < 0 AND pog_b > pos_b THEN 1
+                WHEN cvres_b >= 0 AND pog_b > neg_b THEN 1 ELSE 0 END,
+       round(pog_b, 4)
+FROM verdict
+UNION ALL
+SELECT kc, CASE WHEN cvres_c < 0 AND pog_c > pos_c THEN 1
+                WHEN cvres_c >= 0 AND pog_c > neg_c THEN 1 ELSE 0 END,
+       round(pog_c, 4)
+FROM verdict
+"""
+
+    # median of three without arithmetic (exact, order-free)
+    def _med3(x: str, y: str, z: str) -> str:
+        return f"greatest(least({x}, {y}), least(greatest({x}, {y}), {z}))"
+
+    sql["sct_resistant_general"] = f"""
+WITH {_SCT_TRIPLETS_SQL},
+{_tg3},
+dh AS (
+  SELECT *,
+    least(greatest(((least(dab, dac) + least(dab, dbc)) + least(dac, dbc)) / 3.0,
+                   250.0), 100000.0) AS dhm,
+    {_med3("va", "vb", "vc")} AS yb
+  FROM tg
+),
+cov AS (
+  SELECT *,
+    exp(-0.5 * ((dab / dhm) * (dab / dhm)) - 0.5 * ((dzab / 200.0) * (dzab / 200.0))) AS rab,
+    exp(-0.5 * ((dac / dhm) * (dac / dhm)) - 0.5 * ((dzac / 200.0) * (dzac / 200.0))) AS rac,
+    exp(-0.5 * ((dbc / dhm) * (dbc / dhm)) - 0.5 * ((dzbc / 200.0) * (dzbc / 200.0))) AS rbc,
+    va - yb AS da, vb - yb AS db, vc - yb AS dc
+  FROM dh
+),
+inv AS (
+  SELECT *, {_adj3("1.5")}
+  FROM cov
+),
+sd AS (
+  SELECT *,
+    (n_aa / det) * da + (n_ab / det) * db + (n_ac / det) * dc AS sda,
+    (n_ab / det) * da + (n_bb / det) * db + (n_bc / det) * dc AS sdb,
+    (n_ac / det) * da + (n_bc / det) * db + (n_cc / det) * dc AS sdc
+  FROM inv
+),
+an AS (
+  SELECT *,
+    yb + (sda + rab * sdb + rac * sdc) AS ya_a,
+    yb + (rab * sda + sdb + rbc * sdc) AS ya_b,
+    yb + (rac * sda + rbc * sdb + sdc) AS ya_c,
+    va - sda / (n_aa / det) AS yav_a,
+    vb - sdb / (n_bb / det) AS yav_b,
+    vc - sdc / (n_cc / det) AS yav_c
+  FROM sd
+),
+ch AS (
+  SELECT *,
+    sqrt(greatest((va - ya_a) * (va - yav_a), 0.0)) AS ch_a,
+    sqrt(greatest((vb - ya_b) * (vb - yav_b), 0.0)) AS ch_b,
+    sqrt(greatest((vc - ya_c) * (vc - yav_c), 0.0)) AS ch_c
+  FROM an
+),
+rob AS (
+  SELECT *,
+    least(ch_a, ch_b, ch_c) AS s0,
+    {_med3("ch_a", "ch_b", "ch_c")} AS s1,
+    greatest(ch_a, ch_b, ch_c) AS s2
+  FROM ch
+),
+zed AS (
+  SELECT *,
+    (s2 - (s2 - s1) * 0.5) - (s1 - (s1 - s0) * 0.5) AS sigma,
+    CASE WHEN (va - yb) >= 0 THEN tpos_a ELSE tneg_a END AS thr
+  FROM rob
+),
+fin AS (
+  SELECT *,
+    CASE WHEN sigma > 0
+         THEN (ch_a - s1) / (sigma + sigma / sqrt(3.0)) END AS z_a
+  FROM zed
+)
+SELECT ka AS c_custkey,
+       CASE WHEN z_a IS NOT NULL AND z_a > thr THEN 1 ELSE 0 END AS qc_flag,
+       CASE WHEN z_a IS NOT NULL AND z_a > thr THEN round(z_a, 4) END AS score
+FROM fin
+UNION ALL
+SELECT kb, 0, NULL FROM fin
+UNION ALL
+SELECT kc, 0, NULL FROM fin
+"""
+
+    sql["sct_dual_general"] = f"""
+WITH {_SCT_TRIPLETS_SQL},
+{_tg3},
+dh AS (
+  SELECT *,
+    least(greatest(((least(dab, dac) + least(dab, dbc)) + least(dac, dbc)) / 3.0,
+                   250.0), 100000.0) AS dhm,
+    CASE WHEN va > 5.0 THEN 1 ELSE 0 END AS wa,
+    CASE WHEN vb > 5.0 THEN 1 ELSE 0 END AS wb,
+    CASE WHEN vc > 5.0 THEN 1 ELSE 0 END AS wc
+  FROM tg
+),
+cov AS (
+  SELECT *,
+    exp(-0.5 * ((dab / dhm) * (dab / dhm)) - 0.5 * ((dzab / 200.0) * (dzab / 200.0))) AS rab,
+    exp(-0.5 * ((dac / dhm) * (dac / dhm)) - 0.5 * ((dzac / 200.0) * (dzac / 200.0))) AS rac,
+    exp(-0.5 * ((dbc / dhm) * (dbc / dhm)) - 0.5 * ((dzbc / 200.0) * (dzbc / 200.0))) AS rbc,
+    wa + wb + wc AS n1
+  FROM dh
+),
+idiv AS (
+  SELECT *,
+    CASE
+      WHEN wa != wb AND wa != wc THEN 0.001
+      WHEN wa = wb AND wa != wc THEN
+        CASE WHEN 1.0 - ((1.1 - rab) / (1.1 * 1.1 - rab * rab))
+                     / (1.1 / (1.1 * 1.1 - rab * rab)) > 0
+             THEN 1.0 - ((1.1 - rab) / (1.1 * 1.1 - rab * rab))
+                      / (1.1 / (1.1 * 1.1 - rab * rab))
+             ELSE 0.001 END
+      ELSE
+        CASE WHEN 1.0 - ((1.1 - rac) / (1.1 * 1.1 - rac * rac))
+                     / (1.1 / (1.1 * 1.1 - rac * rac)) > 0
+             THEN 1.0 - ((1.1 - rac) / (1.1 * 1.1 - rac * rac))
+                      / (1.1 / (1.1 * 1.1 - rac * rac))
+             ELSE 0.001 END
+    END AS own,
+    CASE
+      WHEN wa != wb AND wa != wc THEN
+        rab * ((1.1 - rbc) / (1.1 * 1.1 - rbc * rbc))
+        + rac * ((1.1 - rbc) / (1.1 * 1.1 - rbc * rbc))
+      WHEN wa = wb AND wa != wc THEN rac * (1.0 / 1.1)
+      ELSE rab * (1.0 / 1.1)
+    END AS crs
+  FROM cov
+)
+SELECT ka AS c_custkey,
+       CASE WHEN n1 = 0 OR n1 = 3 THEN 0
+            WHEN (own >= 0.45 OR crs >= 0.45) AND crs > own
+                 AND crs * ln(crs / own) > tdual_a THEN 1
+            ELSE 0 END AS qc_flag
+FROM idiv
+UNION ALL
+SELECT kb, 0 FROM idiv
+UNION ALL
+SELECT kc, 0 FROM idiv
 """
 
     # --- the flagship webtext pipeline over `documents` -------------------
