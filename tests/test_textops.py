@@ -207,3 +207,74 @@ def test_embedding_lsh_near_dup_recall_and_prune(spark):
     n_cand = lsh_candidate_pairs(df, dim, 16, 16, vec_col="embedding").count()
     all_pairs = n_total * (n_total - 1) // 2
     assert n_cand < all_pairs * 0.05, f"{n_cand} of {all_pairs} — gate not pruning"
+
+
+def test_real_decoders_byte_for_byte(spark):
+    """PPM/BMP/WAV payloads built by hand decode byte-for-byte — the
+    decode kernels are real for uncompressed containers, not stubs."""
+    import struct
+
+    from titanlib_spark.textops.multimodal import (
+        audio_features,
+        decode_bmp,
+        decode_ppm,
+        decode_wav,
+        image_features,
+    )
+
+    rng = np.random.default_rng(5)
+    # --- PPM P6 with a comment line in the header
+    w, h = 5, 3
+    pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    ppm = b"P6\n# comment\n" + f"{w} {h}\n255\n".encode() + pix.tobytes()
+    out = decode_ppm(ppm)
+    assert out is not None and np.array_equal(out, pix)
+
+    # --- BMP 24-bit bottom-up with row padding (w=3 -> stride 12)
+    bw, bh = 3, 2
+    bpix = rng.integers(0, 256, (bh, bw, 3), dtype=np.uint8)  # RGB top-down
+    stride = (bw * 3 + 3) & ~3
+    raster = b""
+    for r in range(bh - 1, -1, -1):  # bottom-up
+        row = bpix[r][:, ::-1].tobytes()  # BGR
+        raster += row + b"\x00" * (stride - len(row))
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, bw, bh, 1, 24, 0, len(raster), 0, 0, 0, 0)
+        + raster
+    )
+    out = decode_bmp(bmp)
+    assert out is not None and np.array_equal(out, bpix)
+
+    # --- WAV PCM-16 stereo
+    frames = rng.integers(-32768, 32767, (7, 2), dtype=np.int16)
+    data = frames.tobytes()
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    decoded = decode_wav(wav)
+    assert decoded is not None
+    rate, samples = decoded
+    assert rate == 8000 and np.array_equal(samples, frames)
+
+    # --- through the Spark path: real PPM rides image_features end-to-end
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(ppm), w, h, None, None)],
+        "media_id long, media_type string, payload binary, width int, "
+        "height int, duration_s double, sample_rate int",
+    )
+    feats = image_features(df, out_dim=3).collect()[0].feature
+    bands = np.array_split(pix, 3, axis=0)
+    expected = [float(b.mean(dtype=np.float64)) / 255.0 for b in bands]
+    assert np.allclose(feats, np.array(expected, dtype=np.float32))
+
+    adf = spark.createDataFrame(
+        [(2, "audio", bytearray(wav), None, None, 0.001, 8000)],
+        df.schema,
+    )
+    arow = audio_features(adf).collect()[0]
+    assert arow.decoded_rate == 8000 and arow.n_frames == 7
+    mono = frames.mean(axis=1)
+    assert abs(arow.rms - float(np.sqrt(np.mean(mono**2)))) < 1e-9

@@ -1,10 +1,11 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
-The container has no image/audio codecs, so the *decode kernels* are
-stubbed (clearly-marked deterministic fakes / NotImplementedError), while
-everything Spark-side — schema, batch shape, Arrow transfer, partitioning —
-is real and tested. Swapping in PIL/torchaudio/ffmpeg touches only the
-`_decode_*_kernel` functions.
+Uncompressed containers decode for REAL with pure numpy — binary PPM (P6)
+and 24-bit BI_RGB BMP images, PCM-16 WAV audio — no codec library needed.
+Compressed formats (JPEG/PNG/MP3) still need PIL/torchaudio, so unknown
+payloads fall back to a clearly-marked deterministic fake (or a hard
+NotImplementedError with _FAKE_MODE off); everything Spark-side — schema,
+batch shape, Arrow transfer, partitioning — is real and tested either way.
 
 Design rules for 100 TB media:
 * media stays an opaque `binary` column with typed metadata alongside
@@ -39,17 +40,119 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
-_FAKE_MODE = True  # flip to False when real codecs are installed
+_FAKE_MODE = True  # flip to False to hard-error on undecodable payloads
+
+
+def decode_ppm(payload: bytes) -> np.ndarray | None:
+    """Real decoder for binary PPM (P6, maxval 255): pure numpy, no codec.
+    Returns (h, w, 3) uint8 or None if the payload is not a valid P6."""
+    if payload[:2] != b"P6":
+        return None
+    # header = three whitespace-separated tokens (w h maxval) after the
+    # magic; '#' comments run to end of line (Netpbm spec)
+    i, tokens = 2, []
+    while len(tokens) < 3 and i < len(payload):
+        ch = payload[i : i + 1]
+        if ch == b"#":
+            nl = payload.find(b"\n", i)
+            if nl < 0:
+                return None
+            i = nl + 1
+        elif ch.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+    if len(tokens) < 3 or i >= len(payload):
+        return None
+    try:
+        w, h, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    if maxval != 255 or w <= 0 or h <= 0:
+        return None
+    i += 1  # exactly one whitespace byte separates header from raster
+    raster = payload[i : i + w * h * 3]
+    if len(raster) != w * h * 3:
+        return None
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3).copy()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray | None:
+    """Real decoder for uncompressed 24-bit BMP (BI_RGB, BITMAPINFOHEADER):
+    bottom-up BGR rows padded to 4 bytes. Returns (h, w, 3) uint8 RGB or
+    None if the payload is not such a BMP."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        return None
+    off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        return None
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    flip = h > 0  # positive height = bottom-up
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    raster = payload[off : off + stride * h]
+    if len(raster) != stride * h:
+        return None
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return (img[::-1] if flip else img).copy()
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray] | None:
+    """Real decoder for PCM WAV (16-bit LE, any channel count): RIFF chunk
+    walk, pure numpy. Returns (sample_rate, samples[int16, frames x ch])
+    or None if not such a WAV."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, rate, n_ch, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        sz = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = int.from_bytes(body[0:2], "little")
+            n_ch = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if fmt != 1:  # PCM only
+                return None
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if rate is None or data is None or bits != 16 or not n_ch:
+        return None
+    frames = len(data) // (2 * n_ch)
+    samples = np.frombuffer(data[: frames * 2 * n_ch], dtype="<i2")
+    return rate, samples.reshape(frames, n_ch).copy()
 
 
 def _decode_image_kernel(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB: real impl = PIL.Image.open(BytesIO(payload)). The fake is a
-    deterministic arithmetic pixel field derived from the payload length
-    and dimensions — chosen over an RNG so the whole decode->pool path has
-    an exact SQL twin (the `multimodal_features` DuckDB oracle replays
-    pixel = (seed + 31r + 7c + 13ch) mod 256 and the band means)."""
+    """Image decode: REAL pure-numpy decoders for uncompressed containers
+    (binary PPM/P6 and 24-bit BI_RGB BMP — no codec library needed),
+    falling back to the deterministic arithmetic pixel field for payloads
+    that aren't such containers (the synthetic bench/oracle fixtures).
+    The fake is derived from payload length and dimensions so the whole
+    decode->pool path keeps an exact SQL twin (the `multimodal_features`
+    DuckDB oracle replays pixel = (seed + 31r + 7c + 13ch) mod 256 and
+    the band means). Compressed formats (JPEG/PNG) would slot in here via
+    PIL; with _FAKE_MODE off, unknown payloads hard-error instead."""
+    img = decode_ppm(payload)
+    if img is None:
+        img = decode_bmp(payload)
+    if img is not None:
+        return img
     if not _FAKE_MODE:
-        raise NotImplementedError("install PIL and decode payload here")
+        raise NotImplementedError("compressed container: install PIL here")
     h, w = (height or 4), (width or 4)
     seed = (len(payload) * 2654435761 + w * 97 + h * 31) % 2147483647
     r = np.arange(h)[:, None, None]
@@ -97,6 +200,56 @@ def image_features(
                 )
             out = pdf[names].copy()
             out["feature"] = feats
+            yield out
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+def audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """PCM-WAV decode -> (decoded_rate, n_frames, rms, zero_cross_rate),
+    batched via mapInPandas. Payloads that aren't PCM WAV yield NULLs —
+    a compressed-audio decoder (torchaudio/ffmpeg) would slot into
+    decode_wav the way PIL slots into the image kernel."""
+    out_fields = [f for f in df.schema.fields if f.name != payload_col]
+    schema = T.StructType(
+        out_fields
+        + [
+            T.StructField("decoded_rate", T.IntegerType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("zero_cross_rate", T.DoubleType()),
+        ]
+    )
+    names = [f.name for f in out_fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, frames, rmss, zcrs = [], [], [], []
+            for payload in pdf[payload_col]:
+                decoded = decode_wav(bytes(payload)) if payload is not None else None
+                if decoded is None:
+                    rates.append(None), frames.append(None)
+                    rmss.append(None), zcrs.append(None)
+                    continue
+                rate, samples = decoded
+                mono = samples.mean(axis=1)
+                n = len(mono)
+                rates.append(rate)
+                frames.append(n)
+                rmss.append(float(np.sqrt(np.mean(mono**2))) if n else None)
+                zcrs.append(
+                    float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                    if n > 1
+                    else None
+                )
+            out = pdf[names].copy()
+            out["decoded_rate"] = pd.array(rates, dtype="Int32")
+            out["n_frames"] = pd.array(frames, dtype="Int64")
+            out["rms"] = pd.array(rmss, dtype="Float64")
+            out["zero_cross_rate"] = pd.array(zcrs, dtype="Float64")
             yield out
 
     return df.mapInPandas(gen, schema=schema)
