@@ -915,6 +915,34 @@ def q_sct_resistant_general(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_windowed_keep_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming windowed-aggregation operator run in BATCH mode —
+    withWatermark is a no-op on a batch frame, so this is the exact same
+    code path (window + keep-rule aggregation) the stream executes per
+    trigger, replayed over the documents table and value-checked against
+    a DuckDB epoch-bucketed GROUP BY. Docs are spread 600 s apart so the
+    1-hour windows hold ~6 docs each."""
+    from titanlib_spark.streaming import windowed_keep_rates
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/doc/"),
+            F.col("doc_id"),
+        ).alias("url"),
+        F.timestamp_seconds(F.col("doc_id") * 600).alias("warc_ts"),
+        F.col("text"),
+    )
+    out = windowed_keep_rates(
+        pages, watermark="2 hours", window_len="1 hour", min_words=30
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("w_start_s"),
+        "n_pages",
+        "n_keep",
+    )
+
+
 def q_range_check_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
     geo = _customer_geo(spark, sf_dir)
     out = range_check_climatology(
@@ -2057,6 +2085,18 @@ CASE WHEN best < 0.08 THEN 'und'
         + " ".join(f"WHEN '{lg}' THEN {_stops_sql(lg)}" for lg in LANGS)
         + f" ELSE {_stops_sql('en')} END"
     )
+    # batch replay of the streaming windowed keep-rate aggregation:
+    # 1-hour event-time buckets over docs spaced 600 s apart
+    sql["windowed_keep_rates"] = r"""
+SELECT (CAST(doc_id AS BIGINT) * 600 // 3600) * 3600 AS w_start_s,
+       count(*) AS n_pages,
+       CAST(sum(CASE WHEN text IS NOT NULL
+                      AND len(regexp_split_to_array(trim(text), '\s+')) >= 30
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+FROM documents
+GROUP BY 1
+"""
+
     sql["wt_pipeline"] = f"""
 WITH base AS (
   SELECT doc_id, text,
@@ -2171,6 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wt_scrub": q_wt_scrub,
         "wt_fingerprint": q_wt_fingerprint,
         "wt_pipeline": q_wt_pipeline,
+        "windowed_keep_rates": q_windowed_keep_rates,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "ann_topk": q_ann_topk,
