@@ -876,6 +876,37 @@ def q_sct_resistant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fgt_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-circle FGT (reference src/fgt.cpp:29-715) on isolated pairs:
+    per-circle mean background, chi = |yo - yb| / sigma_b, worst-offender
+    rule, isolation flags 11/12 — sct_resistant's state machine without
+    the OI, so the DuckDB twin is pure arithmetic (no trig noise at all:
+    chi is exact decimal math)."""
+    from titanlib_spark.operators import fgt_spatial
+
+    geo = _sct_pairs_geo(spark, sf_dir)
+    out = fgt_spatial(
+        geo,
+        background_elab_type="mean_outer_circle",
+        num_min_outer=2,
+        num_max_outer=10,
+        inner_radius=20000.0,
+        outer_radius=50000.0,
+        num_iterations=10,
+        tpos="tpos_t",
+        tneg="tneg_t",
+        basic=True,
+        accept_isolated=False,
+        obs_to_check="obs",
+    )
+    sc = F.col("score")
+    return out.select(
+        F.col("id").alias("c_custkey"),
+        F.col("flags").alias("qc_flag"),
+        F.round(F.when(F.isnan(sc), F.lit(None)).otherwise(sc), 4).alias("score"),
+    )
+
+
 def q_sct_resistant_general(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCT-resistant on 3-point neighborhoods — the general NON-basic
     path with a closed-form DuckDB twin: median background over 3,
@@ -1806,6 +1837,33 @@ SELECT c_custkey,
 FROM fin
 """
 
+    # fgt_spatial on the same isolated pairs: chi = |yo - mean| with
+    # sigma_b = 1, basic mode (z = chi) — exact decimal arithmetic on both
+    # engines, no trig in the verdict chain at all.
+    sql["fgt_spatial"] = f"""
+WITH {_SCT_PAIRS_SQL},
+ch AS (
+  SELECT *,
+    value - (value + v_o) / 2.0 AS d1,
+    abs(value - (value + v_o) / 2.0) AS chi
+  FROM pr
+),
+fin AS (
+  SELECT *,
+    chi > (CASE WHEN d1 >= 0 THEN tpos_t ELSE tneg_t END) AS bad
+  FROM ch
+)
+SELECT c_custkey,
+       CASE WHEN m = 1 THEN 0
+            WHEN cse = 3 THEN 12
+            WHEN cse = 7 THEN 11
+            WHEN bad THEN 1
+            ELSE 0 END AS qc_flag,
+       CASE WHEN m = 0 AND cse != 3 AND cse != 7 AND bad
+            THEN round(chi, 4) ELSE NULL END AS score
+FROM fin
+"""
+
     sql["sct_dual"] = f"""
 WITH {_SCT_PAIRS_SQL},
 pgeo AS (SELECT *, abs(elev - elev_o) AS dz FROM pr),
@@ -2212,6 +2270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wt_fingerprint": q_wt_fingerprint,
         "wt_pipeline": q_wt_pipeline,
         "windowed_keep_rates": q_windowed_keep_rates,
+        "fgt_spatial": q_fgt_spatial,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "ann_topk": q_ann_topk,

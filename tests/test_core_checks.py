@@ -236,3 +236,52 @@ class TestFlagMonotonicity:
         out = range_check(df, 0.0, 10.0)  # flags row 1
         out = range_check(out, 0.0, 100.0)  # would pass row 1 — must stay flagged
         assert flags_of(out) == [0, 1]
+
+
+class TestFgtSpatial:
+    def test_outlier_isolation_and_restore(self, spark):
+        """Radius-circle FGT: a planted gross error in a tight cluster is
+        the worst offender (flag 1 + score); consistent members pass; a
+        far-away station is isolated-outer (12)."""
+        from titanlib_spark.operators import fgt_spatial
+
+        rows = [(i, 50.0 + i * 0.01, 10.0, 100.0, 10.0 + 0.1 * i) for i in range(8)]
+        rows.append((8, 50.03, 10.0, 100.0, 60.0))  # gross error, in-cluster
+        rows.append((9, 70.0, 10.0, 100.0, 10.0))   # isolated
+        df = spark.createDataFrame(rows, "id long, lat double, lon double, elev double, value double")
+        out = fgt_spatial(
+            df,
+            background_elab_type="median_outer_circle",
+            num_min_outer=3,
+            inner_radius=20000.0,
+            outer_radius=50000.0,
+            tpos=10.0,
+            tneg=10.0,
+            basic=True,
+            accept_isolated=False,
+        )
+        got = {r.id: (r.flags, r.score) for r in out.select("id", "flags", "score").collect()}
+        assert got[8][0] == 1 and got[8][1] is not None and got[8][1] > 10.0
+        assert got[9][0] == 12
+        assert all(got[i][0] == 0 for i in range(8))
+
+    def test_advanced_mode_and_bands(self, spark):
+        """Non-basic z with admissible/valid bands: a valid background
+        vouches for every row (small_innov shortcut -> all good)."""
+        from titanlib_spark.operators import fgt_spatial
+
+        rows = [(i, 50.0 + i * 0.01, 10.0, 100.0, 10.0 + 0.1 * i) for i in range(6)]
+        df = spark.createDataFrame(rows, "id long, lat double, lon double, elev double, value double")
+        out = fgt_spatial(
+            df,
+            background_elab_type="mean_outer_circle",
+            num_min_outer=3,
+            inner_radius=20000.0,
+            outer_radius=50000.0,
+            value_minv=0.0,
+            value_maxv=100.0,  # background always valid -> small_innov
+            tpos=0.001,
+            tneg=0.001,
+            basic=False,
+        )
+        assert [r.flags for r in out.orderBy("id").collect()] == [0] * 6

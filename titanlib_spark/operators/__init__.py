@@ -12,7 +12,7 @@ from titanlib_spark.operators.duplicate_check import (
 from titanlib_spark.operators.buddy_check import buddy_check
 from titanlib_spark.operators.buddy_event_check import buddy_event_check
 from titanlib_spark.operators.background import background
-from titanlib_spark.operators.fgt import fgt
+from titanlib_spark.operators.fgt import fgt, fgt_spatial
 from titanlib_spark.operators.misc import dem_check, external_check
 from titanlib_spark.operators.lag_filter import lag_reduction_filter
 from titanlib_spark.operators.sct import sct
@@ -30,6 +30,7 @@ __all__ = [
     "buddy_event_check",
     "background",
     "fgt",
+    "fgt_spatial",
     "dem_check",
     "external_check",
     "lag_reduction_filter",

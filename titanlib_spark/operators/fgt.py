@@ -1,5 +1,16 @@
 """FGT — First-Guess Test: score observations against a background field.
 
+Two surfaces, matching the reference's own duality:
+
+* :func:`fgt` — the GROUP recast (SURVEY §2.1's plan): neighborhoods are
+  any partition key (grid cell, host, cluster); pure DataFrame ops. This
+  is what the webtext pipeline composes with.
+* :func:`fgt_spatial` — the reference's radius-circle surface
+  (include/titanlib.h:225-246, src/fgt.cpp:29-715): per-centroid outer
+  circles with num_min/max_outer truncation, per-circle background,
+  worst-offender-only flagging, 11/12 isolation flags, three-phase state
+  machine — sct_resistant minus the OI, on the shared three_phase_driver.
+
 Reference src/fgt.cpp:780-923 (decision core). Per neighborhood group:
 
 * chi = |yo - yb| / sigma_b for every row;
@@ -161,3 +172,146 @@ def fgt(
             break
         prev_bad = n_bad
     return df
+
+
+def fgt_spatial(
+    df: DataFrame,
+    background_elab_type: str = "mean_outer_circle",
+    num_min_outer: int = 3,
+    num_max_outer: int = 50,
+    inner_radius: float = 20000.0,
+    outer_radius: float = 50000.0,
+    num_iterations: int = 10,
+    num_min_prof: int = 10,
+    min_elev_diff: float = 500.0,
+    value_mina: float | str | None = None,
+    value_maxa: float | str | None = None,
+    value_minv: float | str | None = None,
+    value_maxv: float | str | None = None,
+    tpos: float | str = 3.0,
+    tneg: float | str = 3.0,
+    basic: bool = False,
+    accept_isolated: bool = True,
+    obs_to_check: str | None = None,
+    background_col: str | None = None,
+    background_uncertainty_col: str | None = None,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    elev_col: str = "elev",
+    value_col: str = "value",
+    flag_col: str = "flags",
+) -> DataFrame:
+    """Radius-circle FGT (reference src/fgt.cpp:29-715): the
+    sct_resistant three-phase state machine with fgt_core instead of the
+    OI — chi = |yo - yb| / sigma_b against a per-circle background.
+    Returns df with `flags` (0/1/11/12 vocabulary) and a `score` column
+    (the z of the single worst offender per condemnation).
+
+    `background_uncertainty_col` names the per-row sigma_b column
+    (reference background_uncertainties, used with external backgrounds;
+    defaults to 1 like src/fgt.cpp:119)."""
+    import numpy as np
+
+    from titanlib_spark.operators._sct_phases import (
+        scalar_or_col,
+        three_phase_driver,
+    )
+    from titanlib_spark.operators.sct_resistant import _sct_resistant_kernel
+    from titanlib_spark.functions.geo import with_ecef
+    from titanlib_spark.flags import ISOLATED_INNER, ISOLATED_OUTER
+
+    df = ensure_flags(df, flag_col)
+    df = apply_check_flags(
+        df, F.when(is_invalid_value(F.col(value_col)), BAD).otherwise(GOOD), flag_col
+    )
+
+    # plausible range = extremes of the admissible bands (src/fgt.cpp:140-148)
+    def _extreme(spec, agg, default):
+        s = scalar_or_col(spec)
+        if s[0] == "col":
+            row = df.agg(agg(F.col(s[1]).cast("double")).alias("v")).first()
+            return float(row["v"]) if row["v"] is not None else default
+        return default if s[1] is None else float(s[1])
+
+    minp = _extreme(value_mina, F.min, -np.inf)
+    maxp = _extreme(value_maxa, F.max, np.inf)
+
+    cfg = dict(
+        core="fgt",
+        background_elab_type=background_elab_type,
+        num_min_outer=int(num_min_outer),
+        num_max_outer=int(num_max_outer),
+        inner_radius=float(inner_radius),
+        outer_radius=float(outer_radius),
+        num_min_prof=int(num_min_prof),
+        min_elev_diff=float(min_elev_diff),
+        # unused by fgt_core; present for the shared kernel's core_kw
+        min_horizontal_scale=250.0,
+        max_horizontal_scale=100000.0,
+        kth_closest=2,
+        vertical_scale=200.0,
+        basic=bool(basic),
+        minp=minp,
+        maxp=maxp,
+        flag_iso_inner=ISOLATED_INNER if not accept_isolated else GOOD,
+        flag_iso_outer=ISOLATED_OUTER if not accept_isolated else GOOD,
+        mina=scalar_or_col(value_mina),
+        maxa=scalar_or_col(value_maxa),
+        minv=scalar_or_col(value_minv),
+        maxv=scalar_or_col(value_maxv),
+        eps2=scalar_or_col(0.5),
+        tpos=scalar_or_col(tpos),
+        tneg=scalar_or_col(tneg),
+        sigma_b=scalar_or_col(
+            background_uncertainty_col if background_uncertainty_col else 1.0
+        ),
+    )
+    band_cols = sorted(
+        {spec[1]
+         for key in ("mina", "maxa", "minv", "maxv", "tpos", "tneg", "sigma_b")
+         for spec in [cfg[key]] if spec[0] == "col"}
+    )
+
+    pts = with_ecef(df.where(F.col(flag_col) == GOOD), lat_col, lon_col)
+    pool = pts.select(
+        F.col(id_col).alias("_sid"),
+        F.col(lat_col).cast("double").alias("_slat"),
+        F.col(lon_col).cast("double").alias("_slon"),
+        F.coalesce(F.col(elev_col).cast("double"), F.lit(0.0)).alias("_selev"),
+        F.col(value_col).cast("double").alias("_svalue"),
+        (
+            F.col(obs_to_check).cast("boolean") if obs_to_check else F.lit(True)
+        ).alias("_sobs"),
+        (
+            F.col(background_col).cast("double")
+            if background_col
+            else F.lit(None).cast("double")
+        ).alias("_sbg"),
+        F.col("x").alias("_sx"),
+        F.col("y").alias("_sy"),
+        F.col("z").alias("_sz"),
+        *[F.col(c).cast("double").alias(c) for c in band_cols],
+    )
+
+    def kernel(pdf, phase: int, set_flag0: bool):
+        return _sct_resistant_kernel(pdf, phase=phase, set_flag0=set_flag0, cfg=cfg)
+
+    verdict = three_phase_driver(
+        pool,
+        kernel,
+        outer_radius=float(outer_radius),
+        num_iterations=int(num_iterations),
+        band_cols=band_cols,
+        id_col=id_col,
+    ).select(
+        id_col,
+        F.col("_state").alias("_new_flag"),
+        F.col("score").alias("_new_score"),
+    )
+    joined = df.join(verdict, on=id_col, how="left")
+    joined = joined.withColumn("score", F.col("_new_score"))
+    joined = apply_check_flags(
+        joined, F.coalesce(F.col("_new_flag"), F.lit(GOOD)), flag_col
+    ).drop("_new_flag", "_new_score")
+    return joined

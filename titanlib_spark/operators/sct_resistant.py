@@ -184,6 +184,55 @@ def _sct_core_np(
     return True, []
 
 
+def _fgt_core_np(
+    yo, yb, sigma_b, tpos, tneg, mina, maxa, minv, maxv,
+    inner_mask, test_mask, *, basic, set_flag0,
+):
+    """One pass over an outer circle WITHOUT the OI (reference fgt_core,
+    src/fgt.cpp:724-905): chi = |yo - yb| / sigma_b, robust stats over
+    inner rows whose BACKGROUND (not yav) is admissible, chi_alt =
+    maxv - minv, worst offender gated by yb outside the valid band.
+    Same return convention as _sct_core_np."""
+    inner = np.where(inner_mask)[0]
+    chi = np.abs(yo[inner] - yb[inner]) / sigma_b[inner]  # IEEE: sb=0 -> inf
+    chi_alt = maxv[inner] - minv[inner]
+    adm = (yb[inner] >= mina[inner]) & (yb[inner] <= maxa[inner])
+    test_local = np.where(test_mask[inner])[0]
+    if not adm.any():
+        # background all inadmissible: every test row is bad (:669-676)
+        return True, [(inner[m], BAD, np.nan) for m in test_local]
+
+    if basic:
+        z = chi
+    else:
+        chi_stat = chi[adm]
+        mu = exact_quantile(0.5, chi_stat)
+        sigma = exact_quantile(0.75, chi_stat) - exact_quantile(0.25, chi_stat)
+        sigma_alt = exact_quantile(0.75, chi_alt[adm]) - exact_quantile(
+            0.25, chi_alt[adm]
+        )
+        if sigma_alt > sigma:  # NaN-safe: empty-band chi_alt never wins
+            sigma = sigma_alt
+        if sigma == 0:
+            return True, []
+        sigma_mu = sigma / np.sqrt(chi_stat.size)
+        z = (chi - mu) / (sigma + sigma_mu)
+
+    zmx, mmx = -10000.0, -1
+    for m in test_local:
+        gi = inner[m]
+        if z[m] > zmx and (yb[gi] < minv[gi] or yb[gi] > maxv[gi]):
+            zmx, mmx = float(z[m]), m
+    if mmx >= 0:
+        gi = inner[mmx]
+        thr = tpos[gi] if (yo[gi] - yb[gi]) >= 0 else tneg[gi]
+        if zmx > thr:
+            return True, [(gi, BAD, zmx)]
+    if set_flag0:
+        return True, [(inner[m], GOOD, np.nan) for m in test_local]
+    return True, []
+
+
 def _sct_resistant_kernel(pdf: pd.DataFrame, *, phase: int, set_flag0: bool,
                           cfg: dict) -> pd.DataFrame:
     ids = pdf["_sid"].to_numpy()
@@ -219,6 +268,9 @@ def _sct_resistant_kernel(pdf: pd.DataFrame, *, phase: int, set_flag0: bool,
     eps2 = band("eps2", 0.5)
     tpos = band("tpos", 3.0)
     tneg = band("tneg", 3.0)
+
+    is_fgt = cfg.get("core") == "fgt"
+    sigmab = band("sigma_b", 1.0) if is_fgt else None
 
     minp, maxp = cfg["minp"], cfg["maxp"]
     num_min_outer = cfg["num_min_outer"]
@@ -292,12 +344,20 @@ def _sct_resistant_kernel(pdf: pd.DataFrame, *, phase: int, set_flag0: bool,
             state[sel[tsel]] = GOOD
             continue
 
-        ok, updates = _sct_core_np(
-            lats[sel], lons[sel], elevs[sel], values[sel], vp,
-            eps2[sel], tpos[sel], tneg[sel], mina[sel], maxa[sel],
-            minv[sel], maxv[sel], inner_mask, test_mask,
-            set_flag0=set_flag0, **core_kw,
-        )
+        if is_fgt:
+            ok, updates = _fgt_core_np(
+                values[sel], vp, sigmab[sel], tpos[sel], tneg[sel],
+                mina[sel], maxa[sel], minv[sel], maxv[sel],
+                inner_mask, test_mask,
+                basic=cfg["basic"], set_flag0=set_flag0,
+            )
+        else:
+            ok, updates = _sct_core_np(
+                lats[sel], lons[sel], elevs[sel], values[sel], vp,
+                eps2[sel], tpos[sel], tneg[sel], mina[sel], maxa[sel],
+                minv[sel], maxv[sel], inner_mask, test_mask,
+                set_flag0=set_flag0, **core_kw,
+            )
         if not ok:
             state[curr] = FAILED_INVERSION  # :380-384
             continue
