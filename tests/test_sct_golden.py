@@ -122,3 +122,37 @@ def test_sct_vector_params_and_rep(spark):
     got = {r.id: (r.flags, r.rep) for r in out.collect()}
     assert {i: f for i, (f, _) in got.items()} == {0: 0, 1: 0, 2: 1}
     assert all(rep == 0.0 for _, rep in got.values())
+
+
+def test_dense_cell_colocated_guard(spark):
+    """One cell fed 20k duplicate-location points must complete in bounded
+    time (the co-located memo: twin centroids replay identical no-op
+    passes) and produce the same verdicts as the unguarded per-centroid
+    sweep would — rows in the truncated num_max circle get pog, the rest
+    stay unflagged, nothing blows up quadratically."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from titanlib_spark.operators import sct
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id"),
+        F.lit(50.0).alias("lat"), F.lit(10.0).alias("lon"),
+        F.lit(100.0).alias("elev"),
+        (F.col("id") % 100 / 10.0).alias("value"),
+    )
+    t0 = time.time()
+    out = sct(
+        df, num_min=5, num_max=20, inner_radius=5000.0,
+        outer_radius=20000.0, num_iterations=1,
+    ).cache()
+    assert out.count() == n
+    elapsed = time.time() - t0
+    # unguarded: ~40s+ at this size (quadratic); guarded: seconds
+    assert elapsed < 30, f"dense-cell sweep took {elapsed:.0f}s — quadratic?"
+    # only the num_max lowest-id rows are in the (single) evaluated circle
+    with_pog = out.where(F.col("prob_gross_error").isNotNull())
+    assert with_pog.count() == 20
+    assert with_pog.agg(F.max("id")).first()[0] == 19

@@ -176,6 +176,12 @@ def _sct_dual_kernel(pdf: pd.DataFrame, *, phase: int, set_flag0: bool,
         kth=cfg["kth_closest"], dz=cfg["vertical_scale"],
     )
 
+    # Dense-cell guard (phase 1 only): same state-versioned co-located
+    # memo as sct_resistant — a twin centroid with unchanged flag state
+    # replays an identical no-op pass, so skip it.
+    pos_seen: dict = {}
+    state_ver = 0
+
     order = np.argsort(ids, kind="stable")
     for curr in order:
         if not core[curr] or not obs[curr]:
@@ -186,6 +192,11 @@ def _sct_dual_kernel(pdf: pd.DataFrame, *, phase: int, set_flag0: bool,
         else:  # phase 3: re-check bad rows (:530-534)
             if state[curr] != BAD:
                 continue
+        if phase == 1:
+            pos_key = (pts[curr, 0], pts[curr, 1], pts[curr, 2])
+            if pos_seen.get(pos_key) == state_ver:
+                continue
+            pos_seen[pos_key] = state_ver
 
         d_chord = np.sqrt(((pts - pts[curr]) ** 2).sum(axis=1))
         guess = np.where(d_chord <= outer_radius)[0]  # all states: truncation
@@ -200,6 +211,7 @@ def _sct_dual_kernel(pdf: pd.DataFrame, *, phase: int, set_flag0: bool,
 
         if sel.size < num_min_outer:
             state[curr] = flag_iso_outer
+            state_ver += 1
             continue
         # no p_inner check: commented out in the reference (:277-280)
 
@@ -216,6 +228,7 @@ def _sct_dual_kernel(pdf: pd.DataFrame, *, phase: int, set_flag0: bool,
         n1 = int(w_sel.sum())
         if n1 == 0 or n1 == w_sel.size:  # single-class shortcut (:330-344)
             state[sel[test_mask]] = GOOD
+            state_ver += 1
             continue
 
         ok, updates = _sct_dual_core_np(
@@ -224,7 +237,10 @@ def _sct_dual_kernel(pdf: pd.DataFrame, *, phase: int, set_flag0: bool,
         )
         if not ok:
             state[curr] = FAILED_INVERSION
+            state_ver += 1
             continue
+        if updates:
+            state_ver += 1
         for local_i, new_state in updates:
             state[sel[local_i]] = new_state
 

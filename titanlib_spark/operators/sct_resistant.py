@@ -286,6 +286,15 @@ def _sct_resistant_kernel(pdf: pd.DataFrame, *, phase: int, set_flag0: bool,
         kth=cfg["kth_closest"], dz=cfg["vertical_scale"], basic=cfg["basic"],
     )
 
+    # Dense-cell guard (phase 1 only): a co-located centroid whose twin
+    # already swept with the SAME flag state computes an identical circle
+    # and identical updates — skipping the repeat pass is a no-op. The
+    # memo is invalidated whenever any state changes, so live flag
+    # propagation within the pass is untouched. Phases 2/3 single out
+    # `curr` itself (test_just_this) and are not memoizable.
+    pos_seen: dict = {}
+    state_ver = 0
+
     order = np.argsort(ids, kind="stable")
     for curr in order:
         if not core[curr] or not obs[curr]:
@@ -296,6 +305,11 @@ def _sct_resistant_kernel(pdf: pd.DataFrame, *, phase: int, set_flag0: bool,
         else:  # phase 3: re-check plausible bad rows (:563-566)
             if state[curr] != BAD or values[curr] < minp or values[curr] > maxp:
                 continue
+        if phase == 1:
+            pos_key = (pts[curr, 0], pts[curr, 1], pts[curr, 2])
+            if pos_seen.get(pos_key) == state_ver:
+                continue
+            pos_seen[pos_key] = state_ver
 
         d_chord = np.sqrt(((pts - pts[curr]) ** 2).sum(axis=1))
         guess = np.where(d_chord <= outer_radius)[0]  # all states: the kdtree
@@ -310,10 +324,12 @@ def _sct_resistant_kernel(pdf: pd.DataFrame, *, phase: int, set_flag0: bool,
 
         if sel.size < num_min_outer:
             state[curr] = flag_iso_outer
+            state_ver += 1
             continue
         inner_mask = d_chord[sel] <= inner_radius     # curr: d=0 -> inner
         if int(inner_mask.sum()) < 2:
             state[curr] = flag_iso_inner
+            state_ver += 1
             continue
 
         try:
@@ -342,6 +358,7 @@ def _sct_resistant_kernel(pdf: pd.DataFrame, *, phase: int, set_flag0: bool,
             small = bool((vp[j] > minv[sel][j]) & (vp[j] < maxv[sel][j]))
         if small:
             state[sel[tsel]] = GOOD
+            state_ver += 1
             continue
 
         if is_fgt:
@@ -360,7 +377,10 @@ def _sct_resistant_kernel(pdf: pd.DataFrame, *, phase: int, set_flag0: bool,
             )
         if not ok:
             state[curr] = FAILED_INVERSION  # :380-384
+            state_ver += 1
             continue
+        if updates:
+            state_ver += 1
         for local_i, new_state, sc in updates:
             gi = sel[local_i]
             state[gi] = new_state
