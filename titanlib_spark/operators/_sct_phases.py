@@ -113,7 +113,12 @@ def three_phase_driver(
         ).withColumn(
             "_sscore", F.coalesce(F.col("_new_score"), F.col("_sscore"))
         ).drop("_new_state", "_new_score")
-        return out.localCheckpoint(eager=True)
+        out = out.localCheckpoint(eager=True)
+        # rule 17: the previous pass's blocks are dead once the merged
+        # frame is materialized — free them before the next big kernel job
+        frame.unpersist()
+        delta.unpersist()
+        return out
 
     set_all_good = False
     for it in range(int(num_iterations)):

@@ -90,6 +90,7 @@ def buddy_event_check(
         new_df = new_df.localCheckpoint(eager=True)
         # one count per round: carry the previous total
         n_bad = new_df.where(F.col(flag_col) != GOOD).count()
+        df.unpersist()  # rule 17: dead checkpoint blocks squeeze exec memory
         df = new_df
         if n_bad == prev_bad:
             break

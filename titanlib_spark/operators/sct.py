@@ -329,6 +329,7 @@ def sct(
 
         # one count per round: carry the previous total (src/sct.cpp:294-299)
         n_bad = new_df.where(F.col(flag_col) != GOOD).count()
+        df.unpersist()  # rule 17: dead checkpoint blocks squeeze exec memory
         df = new_df
         if n_bad == prev_bad:
             break

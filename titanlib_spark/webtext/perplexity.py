@@ -136,6 +136,7 @@ def perplexity_outlier_check(
     ).localCheckpoint(eager=True)
     prev_bad = slim.where(F.col(flag_col) != GOOD).count()
 
+    n_hosts = None  # host cardinality is loop-invariant: count it once
     for _ in range(int(num_iterations)):
         good = slim.where((F.col(flag_col) == GOOD) & F.col(ppl_col).isNotNull())
         # one rollup job computes per-host stats AND the global background
@@ -162,8 +163,10 @@ def perplexity_outlier_check(
         # checkpointed frames carry no size stats, so AQE can't see that
         # host_stats is tiny — hint broadcast explicitly while the host
         # cardinality is broadcastable (the common case: #hosts << #docs);
-        # beyond that fall back to a shuffle join
-        n_hosts = host_stats.count()
+        # beyond that fall back to a shuffle join. The count is taken once:
+        # hosts never appear mid-loop, so the plan choice is loop-invariant
+        if n_hosts is None:
+            n_hosts = host_stats.count()
         if n_hosts <= 2_000_000:
             host_stats = F.broadcast(host_stats)
         joined = slim.join(host_stats, on=group_col, how="left")
@@ -184,6 +187,10 @@ def perplexity_outlier_check(
         ).drop("_h_mu", "_h_iqr", "_h_n")
         new_slim = new_slim.localCheckpoint(eager=True)
         new_bad = new_slim.where(F.col(flag_col) != GOOD).count()
+        # rule 17: drop the previous round's blocks once the new round is
+        # materialized — dead checkpoints squeeze execution memory
+        slim.unpersist()
+        stats.unpersist()
         slim = new_slim
         if new_bad == prev_bad:
             break
