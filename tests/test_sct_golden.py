@@ -156,3 +156,18 @@ def test_dense_cell_colocated_guard(spark):
     with_pog = out.where(F.col("prob_gross_error").isNotNull())
     assert with_pog.count() == 20
     assert with_pog.agg(F.max("id")).first()[0] == 19
+
+
+def test_triplet_oracle_margins_clear_of_noise():
+    """Every decision boundary in the 3-point SCT oracles (thresholds,
+    sign branches, round-to-4dp grid) must sit >= 1e-6 from its computed
+    value — ~100x the worst cross-engine trig noise — so the DuckDB value
+    oracles are robust, not lucky. Pure DuckDB, no Spark session."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "scratch/sct_triplet_margins.py", "/root/testdata/sf0.001"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
