@@ -44,6 +44,29 @@ def scalar_or_col(spec):
     return ("const", spec)
 
 
+def plausible_range(df: DataFrame, value_mina, value_maxa):
+    """(minp, maxp) = extremes of the admissible bands (reference
+    src/sct_resistant.cpp:191-196 / src/fgt.cpp:140-148). Column-valued
+    bands need a driver-side scalar aggregate — ONE job for both."""
+    import numpy as np
+
+    sa, sb = scalar_or_col(value_mina), scalar_or_col(value_maxa)
+    aggs = []
+    if sa[0] == "col":
+        aggs.append(F.min(F.col(sa[1]).cast("double")).alias("_minp"))
+    if sb[0] == "col":
+        aggs.append(F.max(F.col(sb[1]).cast("double")).alias("_maxp"))
+    row = df.agg(*aggs).first() if aggs else None
+
+    def val(s, key, default):
+        if s[0] == "col":
+            v = row[key]
+            return float(v) if v is not None else default
+        return default if s[1] is None else float(s[1])
+
+    return val(sa, "_minp", -np.inf), val(sb, "_maxp", np.inf)
+
+
 def three_phase_driver(
     pool: DataFrame,
     kernel,

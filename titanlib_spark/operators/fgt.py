@@ -212,8 +212,6 @@ def fgt_spatial(
     `background_uncertainty_col` names the per-row sigma_b column
     (reference background_uncertainties, used with external backgrounds;
     defaults to 1 like src/fgt.cpp:119)."""
-    import numpy as np
-
     from titanlib_spark.operators._sct_phases import (
         scalar_or_col,
         three_phase_driver,
@@ -227,16 +225,11 @@ def fgt_spatial(
         df, F.when(is_invalid_value(F.col(value_col)), BAD).otherwise(GOOD), flag_col
     )
 
-    # plausible range = extremes of the admissible bands (src/fgt.cpp:140-148)
-    def _extreme(spec, agg, default):
-        s = scalar_or_col(spec)
-        if s[0] == "col":
-            row = df.agg(agg(F.col(s[1]).cast("double")).alias("v")).first()
-            return float(row["v"]) if row["v"] is not None else default
-        return default if s[1] is None else float(s[1])
+    # plausible range = extremes of the admissible bands
+    # (src/fgt.cpp:140-148); one scalar-aggregate job covers both
+    from titanlib_spark.operators._sct_phases import plausible_range
 
-    minp = _extreme(value_mina, F.min, -np.inf)
-    maxp = _extreme(value_maxa, F.max, np.inf)
+    minp, maxp = plausible_range(df, value_mina, value_maxa)
 
     cfg = dict(
         core="fgt",

@@ -441,16 +441,11 @@ def sct_resistant(
         df, F.when(is_invalid_value(F.col(value_col)), BAD).otherwise(GOOD), flag_col
     )
 
-    # plausible range = extremes of the admissible bands (:191-196)
-    def _extreme(spec, agg, default):
-        s = scalar_or_col(spec)
-        if s[0] == "col":
-            row = df.agg(agg(F.col(s[1]).cast("double")).alias("v")).first()
-            return float(row["v"]) if row["v"] is not None else default
-        return default if s[1] is None else float(s[1])
+    # plausible range = extremes of the admissible bands (:191-196);
+    # one scalar-aggregate job covers both column-valued bands
+    from titanlib_spark.operators._sct_phases import plausible_range
 
-    minp = _extreme(value_mina, F.min, -np.inf)
-    maxp = _extreme(value_maxa, F.max, np.inf)
+    minp, maxp = plausible_range(df, value_mina, value_maxa)
 
     cfg = dict(
         background_elab_type=background_elab_type,
