@@ -100,12 +100,29 @@ def main() -> None:
 
     pages = generate_pages(spark, QC_DOCS, seed=42).select(PAGE_COLS).cache()
     pages.count()
+
+    def _persistent_rdds(sc):
+        out = {}
+        it = sc._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            kv = it.next()
+            out[int(kv._1())] = kv._2()
+        return out
+
     trials = []
     for _ in range(2):  # best-of-2: JIT/GC variance between runs is large
+        # free the previous trial's internal checkpoints (NOT the pages
+        # cache): dead blocks squeeze execution memory and poison the
+        # second trial (CLAUDE.md rule 17)
+        before = set(_persistent_rdds(spark.sparkContext))
         t0 = time.time()
         result = run_quality_pipeline(pages, QualityFilterConfig())
         materialize(result.select("url", "flags", "keep", "reasons", "scrubbed_text"))
         trials.append(time.time() - t0)
+        after = _persistent_rdds(spark.sparkContext)
+        for rdd_id, rdd in after.items():
+            if rdd_id not in before:
+                rdd.unpersist(True)
     qc_sec = min(trials)
     times["webtext_qc_pipeline"] = round(qc_sec, 3)
     pages.unpersist()

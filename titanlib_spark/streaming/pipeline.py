@@ -155,9 +155,23 @@ def stream_quality_pipeline(
     if cross_batch_dedup:
         stream = mark_cross_batch_dups(stream, url_col=cfg.url_col)
 
+    def _persistent_rdds(sc):
+        out = {}
+        it = sc._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            kv = it.next()
+            out[int(kv._1())] = kv._2()
+        return out
+
     def process_batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # the pipeline checkpoints its UDF output per call; without scoped
+        # cleanup every micro-batch would leak those blocks for the life
+        # of the JVM (and squeeze execution memory). Snapshot persistent
+        # RDDs before, free only the batch's own additions after the write.
+        sc = batch_df.sparkSession.sparkContext
+        before = set(_persistent_rdds(sc))
         result = run_quality_pipeline(batch_df, cfg)
         if "content_hash" not in result.columns:
             result = result.withColumn("content_hash", F.lit(None).cast("string"))
@@ -192,6 +206,10 @@ def stream_quality_pipeline(
             .partitionBy("batch_id", "part_id")
             .parquet(output_path)
         )
+        after = _persistent_rdds(sc)
+        for rdd_id, rdd in after.items():
+            if rdd_id not in before:
+                rdd.unpersist(False)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -265,6 +265,10 @@ def lsh_bucketed_topk(
                 mask |= 1 << p
             probes.add(qbits ^ mask)
 
-    sig = hyperplane_signature(vec_col, dim, n_planes, seed)
+    # one Arrow pass instead of n_planes interpreted HOF dot products;
+    # the strict fold-order accumulation keeps the bucket ids bit-identical
+    # to the Column-expression signature (and the DuckDB oracle)
+    sig_udf = _table_signatures_udf(dim, n_planes, 1, seed)
+    sig = F.element_at(sig_udf(F.col(vec_col)), 1)
     candidates = df.where(sig.isin(*sorted(probes)))
     return cosine_topk(candidates, query_vec, k, vec_col, id_col)

@@ -10,11 +10,15 @@ after the cheap row-local stages — the reference's flag-pushdown
 (src/dataset.cpp:222-241) expressed as a filter Catalyst pushes into the
 scan.
 
-Everything row-local is a single whole-stage-codegen projection; the only
-shuffles are (1) the content-hash dedup window, (2) the per-host
-percentile aggregation inside the outlier loop. At 100 TB both shuffle on
-well-distributed keys (md5, host — hot hosts are bounded by the global
-fallback path, and the output write salts on url hash).
+Everything row-local is a single whole-stage-codegen projection. The WIDE
+frame (scrubbed text + features) never shuffles at all: the content-hash
+dedup verdict is computed on a slim (url, hash, ts) projection and the
+duplicate set joins back broadcast-style (window-over-wide fallback if a
+pathological corpus has too many dups to broadcast); the per-host
+percentile aggregation inside the outlier loop runs over a slim
+checkpointed projection too. The only full-payload movement left is the
+salted output write. Shuffle keys (md5, host) are well-distributed — hot
+hosts are bounded by the global fallback path.
 """
 
 from __future__ import annotations
@@ -128,7 +132,29 @@ def run_quality_pipeline(
     df = with_fused_features(df, text_col=t, html_col=html_col)
     if cfg.drop_raw_text:
         df = df.drop(t, "html")
-    df = is_duplicate(df, hash_col="content_hash")
+
+    # Materialize the UDF output BEFORE any shuffle, then decide dedup on
+    # a slim (url, hash, ts) projection: the duplicate verdict is computed
+    # without moving the wide payload, and the (small) duplicate set joins
+    # back broadcast-style — the pipeline then has ZERO wide-frame
+    # shuffles. If duplicates are too many to broadcast (pathological
+    # corpus), fall back to the classic window over the wide frame — the
+    # same single wide shuffle as before, never worse.
+    df = df.localCheckpoint(eager=True)
+    slim_dup = is_duplicate(
+        df.select(cfg.url_col, "content_hash", "warc_ts"),
+        hash_col="content_hash",
+    ).where(F.col("is_duplicate")).select(cfg.url_col)
+    n_dup = slim_dup.count()
+    if n_dup <= 1_000_000:
+        hit = slim_dup.withColumn("_is_dup", F.lit(True))
+        df = (
+            df.join(F.broadcast(hit), on=cfg.url_col, how="left")
+            .withColumn("is_duplicate", F.coalesce(F.col("_is_dup"), F.lit(False)))
+            .drop("_is_dup")
+        )
+    else:
+        df = is_duplicate(df, hash_col="content_hash")
     if not cfg.keep_content_hash:
         df = df.drop("content_hash")
 
@@ -141,9 +167,10 @@ def run_quality_pipeline(
     df = apply_check_flags(df, F.when(F.size("reasons") > 0, BAD).otherwise(GOOD))
 
     if cfg.run_ppl_stage:
-        # ppl was computed in the fused UDF pass; materialize the chain
-        # once before the iterative stage
-        df = df.localCheckpoint(eager=True)
+        # the chain from the pre-shuffle checkpoint is narrow (broadcast
+        # join + row-local exprs): cheap to evaluate for both consumers
+        # (the ppl slim projection and the final output), so no second
+        # checkpoint is needed
         df = perplexity_outlier_check(
             df,
             group_col="host",
