@@ -278,3 +278,35 @@ def test_real_decoders_byte_for_byte(spark):
     assert arow.decoded_rate == 8000 and arow.n_frames == 7
     mono = frames.mean(axis=1)
     assert abs(arow.rms - float(np.sqrt(np.mean(mono**2)))) < 1e-9
+
+
+def test_decoder_rejects_malformed_containers():
+    """Truncated/invalid payloads return None (fall back to the fake
+    kernel) instead of mis-decoding — pure python, no Spark."""
+    import struct
+
+    from titanlib_spark.textops.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        decode_wav,
+    )
+
+    assert decode_ppm(b"P5\n2 2\n255\n" + b"\x00" * 4) is None  # P5 not P6
+    assert decode_ppm(b"P6\n2 2\n255\n" + b"\x00" * 5) is None  # short raster
+    assert decode_ppm(b"P6\n2 2\n65535\n" + b"\x00" * 24) is None  # 16-bit
+    assert decode_ppm(b"random bytes") is None
+
+    assert decode_bmp(b"BM" + b"\x00" * 20) is None  # short header
+    bad_bpp = (
+        b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 0, 0, 0, 0, 0)
+    )
+    assert decode_bmp(bad_bpp) is None  # 8-bit unsupported
+
+    assert decode_wav(b"RIFFxxxxWAVE") is None  # no chunks
+    float_wav = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)
+        + b"data" + struct.pack("<I", 0)
+    )
+    assert decode_wav(float_wav) is None  # IEEE-float fmt unsupported
