@@ -228,3 +228,45 @@ def test_running_host_quality_state_survives_restart(spark, tmp_path):
     # a's totals CONTINUED from the persisted state; c starts fresh
     assert t2["a.example"] == (3, 2)
     assert t2["c.example"] == (1, 0)
+
+
+def test_cross_batch_dedup_null_url_unhashable_row(spark, tmp_path):
+    """A row with NULL url AND unhashable payload must not kill the
+    micro-batch (regression: coalesce of two NULLs made the state group
+    key None and update() crashed on key[0].startswith)."""
+    import datetime
+
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    pages = generate_pages(spark, 30, seed=11).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+    from pyspark.sql import types as T
+
+    from titanlib_spark.webtext.schema import PAGES_SCHEMA
+
+    # nullability in parquet is advisory: a malformed upstream write CAN
+    # hand the stream a NULL url, whatever the declared schema says
+    nullable_pages = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in PAGES_SCHEMA.fields]
+    )
+    broken = spark.createDataFrame(
+        [
+            (None, datetime.datetime(2024, 1, 1), None, None, None),
+            (None, datetime.datetime(2024, 1, 2), None, "   ", None),
+        ],
+        schema=nullable_pages,
+    )
+    pages.unionByName(broken).write.parquet(src)
+    q = stream_quality_pipeline(spark, src, out, ckpt, n_parts=2)
+    q.awaitTermination(300)
+
+    res = spark.read.parquet(out)
+    assert res.count() == 32
+    nulls = res.where(F.col("url").isNull())
+    assert nulls.count() == 2
+    # unhashable rows are never cross-batch duplicates, just dropped as empty
+    assert nulls.where(F.array_contains("reasons", "cross_batch_duplicate")).count() == 0
+    assert nulls.where(F.col("keep")).count() == 0

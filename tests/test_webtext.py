@@ -171,3 +171,41 @@ def test_checkpoint_resume(spark, tmp_path):
     written = spark.read.parquet(f"{out}/pages_qc")
     assert written.count() == 600
     assert written.select("part_id").distinct().count() == 8
+
+
+def test_recrawl_same_url_keeps_first_no_fanout(spark):
+    """Recrawls: duplicates sharing the KEEPER'S url (same url, later
+    warc_ts, same content — the common case). The first occurrence must
+    stay kept, later copies flagged duplicate, and the dup join-back must
+    not fan out rows (regression: a url-keyed join flagged the keeper and
+    multiplied rows when several dups shared one url)."""
+    import datetime
+
+    base = [r for r in generate_rows(range(0, 40), seed=42)
+            if r["expected_keep"] and r["expected_reason"] is None]
+    assert len(base) >= 5
+    rows = []
+    for r in base:
+        rows.append({k: r[k] for k in ("url", "warc_ts", "html", "text", "lang")})
+    # three recrawls of base[0]: SAME url, same content, later timestamps
+    for k in (1, 2, 3):
+        rc = dict(rows[0])
+        rc["warc_ts"] = rows[0]["warc_ts"] + datetime.timedelta(days=k)
+        rows.append(rc)
+    pdf = pd.DataFrame(rows)
+    df = spark.createDataFrame(pdf)
+    out = run_quality_pipeline(df, QualityFilterConfig()).cache()
+    try:
+        assert out.count() == len(rows)  # no join fan-out
+        u0 = rows[0]["url"]
+        same_url = out.where(F.col("url") == u0).orderBy("warc_ts").collect()
+        assert len(same_url) == 4
+        assert same_url[0]["keep"], "first occurrence (keeper) was dropped"
+        for later in same_url[1:]:
+            assert not later["keep"]
+            assert "duplicate" in later["reasons"]
+        # distinct-url clean docs unaffected
+        others = out.where(F.col("url") != u0)
+        assert others.where(~F.col("keep")).count() == 0
+    finally:
+        out.unpersist()

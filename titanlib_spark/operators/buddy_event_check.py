@@ -44,10 +44,13 @@ def buddy_event_check(
     coord_type: str = "geodetic",
 ) -> DataFrame:
     """`radius`, `num_min`, `event_threshold` and `threshold` each accept
-    a scalar or a per-row column name (the reference's length-N vector
-    convention, include/titanlib.h:287-296). With a column `threshold`,
-    the fraction-vs-count mode split (threshold < 1) is decided PER ROW,
-    exactly as the reference branches on threshold[i]
+    a scalar or a per-row column name. The reference declares only radius
+    and num_min as length-N vectors (include/titanlib.h:287-296;
+    event_threshold and threshold are scalar floats there) — the column
+    forms of the latter two are a deliberate superset mirroring the vec
+    convention, not reference parity. With a column `threshold`, the
+    fraction-vs-count mode split (threshold < 1) is decided PER ROW, as
+    the reference branches on its scalar threshold
     (src/buddy_event_check.cpp:143-155)."""
     df = ensure_flags(df, flag_col)
     df = apply_check_flags(

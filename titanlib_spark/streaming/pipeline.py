@@ -93,11 +93,19 @@ def mark_cross_batch_dups(stream: DataFrame, url_col: str = "url") -> DataFrame:
     streaming state store, never in the sink."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    # the final literal arm keeps _xb_key non-null even when BOTH the
+    # content hash and the url are NULL (unhashable row with no url): a
+    # NULL group key would reach update() as key=(None,) and crash the
+    # micro-batch on key[0].startswith. Unhashable rows never mark dups or
+    # write state, so collapsing them into one `_NOHASH` group is safe —
+    # it only affects grouping fan-out, and such rows are rare by
+    # construction (no url AND no hashable payload).
     keyed = stream.withColumn(
         "_xb_key",
         F.coalesce(
             _content_key(F.col("text"), F.col("html")),
             F.concat(F.lit(_NOHASH), F.col(url_col)),
+            F.lit(_NOHASH),
         ),
     )
     # rule 4: never mutate a cached schema object in place

@@ -134,22 +134,31 @@ def run_quality_pipeline(
         df = df.drop(t, "html")
 
     # Materialize the UDF output BEFORE any shuffle, then decide dedup on
-    # a slim (url, hash, ts) projection: the duplicate verdict is computed
-    # without moving the wide payload, and the (small) duplicate set joins
-    # back broadcast-style — the pipeline then has ZERO wide-frame
-    # shuffles. If duplicates are too many to broadcast (pathological
-    # corpus), fall back to the classic window over the wide frame — the
-    # same single wide shuffle as before, never worse.
+    # a slim (row_id, hash, ts, url) projection: the duplicate verdict is
+    # computed without moving the wide payload, and the (small) duplicate
+    # set joins back broadcast-style — the pipeline then has ZERO
+    # wide-frame shuffles. If duplicates are too many to broadcast
+    # (pathological corpus), fall back to the classic window over the wide
+    # frame — the same single wide shuffle as before, never worse.
+    #
+    # The join-back key is a surrogate row id stamped INSIDE the
+    # checkpoint, not the url: recrawls make url non-unique (same url,
+    # later warc_ts, same content is the common duplicate), so a url-keyed
+    # join would flag the first-occurrence keeper alongside its dup and
+    # fan out when several dups share one url. The id is physically
+    # materialized by the checkpoint, so both branches below (the slim
+    # verdict and the wide frame) see identical values.
+    df = df.withColumn("_row_id", F.monotonically_increasing_id())
     df = df.localCheckpoint(eager=True)
     slim_dup = is_duplicate(
-        df.select(cfg.url_col, "content_hash", "warc_ts"),
+        df.select("_row_id", cfg.url_col, "content_hash", "warc_ts"),
         hash_col="content_hash",
-    ).where(F.col("is_duplicate")).select(cfg.url_col)
+    ).where(F.col("is_duplicate")).select("_row_id")
     n_dup = slim_dup.count()
     if n_dup <= 1_000_000:
         hit = slim_dup.withColumn("_is_dup", F.lit(True))
         df = (
-            df.join(F.broadcast(hit), on=cfg.url_col, how="left")
+            df.join(F.broadcast(hit), on="_row_id", how="left")
             .withColumn("is_duplicate", F.coalesce(F.col("_is_dup"), F.lit(False)))
             .drop("_is_dup")
         )
@@ -178,6 +187,7 @@ def run_quality_pipeline(
             num_min=cfg.ppl_num_min,
             num_iterations=cfg.ppl_iterations,
             valid_max=cfg.ppl_valid_max,
+            id_col="_row_id",  # url is non-unique under recrawls
         )
         df = df.withColumn(
             "reasons",
@@ -188,4 +198,4 @@ def run_quality_pipeline(
         )
 
     # scrubbed_text already attached by the fused UDF pass
-    return df.withColumn("keep", F.col("flags") == GOOD)
+    return df.withColumn("keep", F.col("flags") == GOOD).drop("_row_id")
