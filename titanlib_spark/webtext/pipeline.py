@@ -150,10 +150,15 @@ def run_quality_pipeline(
     # verdict and the wide frame) see identical values.
     df = df.withColumn("_row_id", F.monotonically_increasing_id())
     df = df.localCheckpoint(eager=True)
+    # materialize the (tiny) dup-id set once: without this, every
+    # downstream action that touches the broadcast side — the count here,
+    # the ppl stage's slim checkpoint, the final write — re-executes the
+    # slim window shuffle and rebuilds the broadcast (measured 3x window
+    # re-execution at bench scale)
     slim_dup = is_duplicate(
         df.select("_row_id", cfg.url_col, "content_hash", "warc_ts"),
         hash_col="content_hash",
-    ).where(F.col("is_duplicate")).select("_row_id")
+    ).where(F.col("is_duplicate")).select("_row_id").localCheckpoint(eager=True)
     n_dup = slim_dup.count()
     if n_dup <= 1_000_000:
         hit = slim_dup.withColumn("_is_dup", F.lit(True))
