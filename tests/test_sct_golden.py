@@ -158,6 +158,41 @@ def test_dense_cell_colocated_guard(spark):
     assert with_pog.agg(F.max("id")).first()[0] == 19
 
 
+def test_dense_cell_distinct_locations(spark):
+    """One kernel cell fed 50k DISTINCT locations (the urban-density
+    pathology the co-located memo can't touch) must complete in bounded
+    time: the sub-grid index (_neighbors.py) makes each centroid's radius
+    query O(candidates) instead of O(n_cell), so the cell is ~linear in
+    the number of OI runs rather than quadratic in rows."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from titanlib_spark.operators import sct
+
+    n = 50_000
+    # 224x224-ish lattice, ~44m spacing -> ~10 km patch, inside ONE
+    # outer_radius=20km grid cell; every location distinct
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.lit(50.0) + (F.col("id") % 224) * 0.0004).alias("lat"),
+        (F.lit(10.0) + (F.col("id") / 224).cast("long") * 0.0006).alias("lon"),
+        F.lit(100.0).alias("elev"),
+        (F.col("id") % 100 / 10.0).alias("value"),
+    )
+    t0 = time.time()
+    out = sct(
+        df, num_min=5, num_max=20, inner_radius=20000.0,
+        outer_radius=20000.0, num_iterations=1,
+    ).cache()
+    assert out.count() == n
+    elapsed = time.time() - t0
+    assert elapsed < 120, f"dense distinct-location cell took {elapsed:.0f}s"
+    # every row was reachable: each OI run settles its num_max circle, so
+    # all rows end up evaluated (pog set) across the sweep
+    assert out.where(F.col("prob_gross_error").isNotNull()).count() > n // 2
+
+
 def test_triplet_oracle_margins_clear_of_noise():
     """Every decision boundary in the 3-point SCT oracles (thresholds,
     sign branches, round-to-4dp grid) must sit >= 1e-6 from its computed

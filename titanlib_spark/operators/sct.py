@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 
 from titanlib_spark.flags import BAD, GOOD, apply_check_flags, ensure_flags
 from titanlib_spark.functions.geo import EARTH_RADIUS, with_ecef
+from titanlib_spark.operators._neighbors import CellNeighborhood
 from titanlib_spark.operators.background import exact_quantile, vertical_profile_np
 from titanlib_spark.operators.range_check import is_invalid_value
 
@@ -109,6 +110,10 @@ def _sct_kernel(
 
     order = np.argsort(ids, kind="stable")  # deterministic sweep order
     pts = np.stack([x, y, z], axis=1)
+    # output-sensitive radius/kNN queries: identical results to the naive
+    # scan, O(candidates) per centroid for dense distinct-location cells
+    # (see _neighbors.py)
+    nbr = CellNeighborhood(pts, ids, outer_radius, num_max)
 
     # Dense-cell guard: co-located centroids define IDENTICAL circles
     # (sel is a pure function of position + ids here — the unflagged
@@ -125,13 +130,9 @@ def _sct_kernel(
         if pos_key in pos_seen:
             continue
         pos_seen.add(pos_key)
-        # chord-metric radius query (reference KDTree semantics)
-        d_chord = np.sqrt(((pts - pts[curr]) ** 2).sum(axis=1))
-        sel = np.where(d_chord <= outer_radius)[0]
-        if sel.size > num_max:
-            # nearest num_max, ties by id for determinism
-            k = np.lexsort((ids[sel], d_chord[sel]))[:num_max]
-            sel = sel[k]
+        # chord-metric radius query (reference KDTree semantics), nearest
+        # num_max with id tie-break for determinism
+        sel, dists = nbr.query(curr)
         if sel.size < num_min:
             checked[curr] = True
             continue
@@ -171,7 +172,6 @@ def _sct_kernel(
         sig2o = max(float(np.mean(d * (-ares))), 0.01)
         pog = cvres * ares / sig2o
 
-        dists = d_chord[sel]
         for i in range(s_box):
             idx = sel[i]
             # obs_to_check masks rows from flagging/pog entirely but they

@@ -50,6 +50,7 @@ from titanlib_spark.flags import (
 from titanlib_spark.functions.geo import with_ecef
 from titanlib_spark.operators.range_check import is_invalid_value
 from titanlib_spark.operators.sct import _geodetic_dist_matrix
+from titanlib_spark.operators._neighbors import CellNeighborhood
 from titanlib_spark.operators._sct_phases import (
     NA_STATE,
     scalar_or_col,
@@ -182,6 +183,11 @@ def _sct_dual_kernel(pdf: pd.DataFrame, *, phase: int, set_flag0: bool,
     pos_seen: dict = {}
     state_ver = 0
 
+    # output-sensitive radius/kNN index (see _neighbors.py): identical
+    # results to the naive per-centroid scan, O(candidates) per query for
+    # dense distinct-location cells
+    nbr = CellNeighborhood(pts, ids, outer_radius, num_max_outer)
+
     order = np.argsort(ids, kind="stable")
     for curr in order:
         if not core[curr] or not obs[curr]:
@@ -198,16 +204,18 @@ def _sct_dual_kernel(pdf: pd.DataFrame, *, phase: int, set_flag0: bool,
                 continue
             pos_seen[pos_key] = state_ver
 
-        d_chord = np.sqrt(((pts - pts[curr]) ** 2).sum(axis=1))
-        guess = np.where(d_chord <= outer_radius)[0]  # all states: truncation
-        if guess.size > num_max_outer:                # precedes the flag
-            k = np.lexsort((ids[guess], d_chord[guess]))[:num_max_outer]
-            guess = guess[k]                          # filter (:236-260)
+        # radius query truncated to nearest num_max_outer, PRECEDING the
+        # flag filter (:236-260) — output-sensitive, naive-scan-identical
+        guess, d_guess = nbr.query(curr)
         if phase == 1:
-            sel = guess[state[guess] != BAD]
+            keep = state[guess] != BAD
         else:
-            sel = guess[(state[guess] != BAD) & (guess != curr)]
+            keep = (state[guess] != BAD) & (guess != curr)
+        sel = guess[keep]
+        d_sel = d_guess[keep]
+        if phase != 1:
             sel = np.append(sel, curr)                # test_just_this append
+            d_sel = np.append(d_sel, 0.0)             # d(curr, curr) == 0
 
         if sel.size < num_min_outer:
             state[curr] = flag_iso_outer
@@ -215,7 +223,7 @@ def _sct_dual_kernel(pdf: pd.DataFrame, *, phase: int, set_flag0: bool,
             continue
         # no p_inner check: commented out in the reference (:277-280)
 
-        inner_mask = d_chord[sel] <= inner_radius
+        inner_mask = d_sel <= inner_radius
         if phase == 1:
             st = state[sel]
             test_mask = inner_mask & obs[sel] & (st != GOOD) & (st != BAD)

@@ -80,6 +80,7 @@ from titanlib_spark.operators.background import (
 )
 from titanlib_spark.operators.range_check import is_invalid_value
 from titanlib_spark.operators.sct import _geodetic_dist_matrix
+from titanlib_spark.operators._neighbors import CellNeighborhood
 from titanlib_spark.operators._sct_phases import (
     NA_STATE,
     scalar_or_col,
@@ -295,6 +296,11 @@ def _sct_resistant_kernel(pdf: pd.DataFrame, *, phase: int, set_flag0: bool,
     pos_seen: dict = {}
     state_ver = 0
 
+    # output-sensitive radius/kNN index (see _neighbors.py): identical
+    # results to the naive per-centroid scan, O(candidates) per query for
+    # dense distinct-location cells
+    nbr = CellNeighborhood(pts, ids, outer_radius, num_max_outer)
+
     order = np.argsort(ids, kind="stable")
     for curr in order:
         if not core[curr] or not obs[curr]:
@@ -311,22 +317,24 @@ def _sct_resistant_kernel(pdf: pd.DataFrame, *, phase: int, set_flag0: bool,
                 continue
             pos_seen[pos_key] = state_ver
 
-        d_chord = np.sqrt(((pts - pts[curr]) ** 2).sum(axis=1))
-        guess = np.where(d_chord <= outer_radius)[0]  # all states: the kdtree
-        if guess.size > num_max_outer:                # truncates BEFORE the
-            k = np.lexsort((ids[guess], d_chord[guess]))[:num_max_outer]
-            guess = guess[k]                          # flag filter (:242-268)
+        # radius query truncated to nearest num_max_outer BEFORE the flag
+        # filter (:242-268) — output-sensitive index, naive-scan-identical
+        guess, d_guess = nbr.query(curr)
         if phase == 1:
-            sel = guess[state[guess] != BAD]
+            keep = state[guess] != BAD
         else:
-            sel = guess[(state[guess] != BAD) & (guess != curr)]
+            keep = (state[guess] != BAD) & (guess != curr)
+        sel = guess[keep]
+        d_sel = d_guess[keep]
+        if phase != 1:
             sel = np.append(sel, curr)                # test_just_this append
+            d_sel = np.append(d_sel, 0.0)             # d(curr, curr) == 0
 
         if sel.size < num_min_outer:
             state[curr] = flag_iso_outer
             state_ver += 1
             continue
-        inner_mask = d_chord[sel] <= inner_radius     # curr: d=0 -> inner
+        inner_mask = d_sel <= inner_radius            # curr: d=0 -> inner
         if int(inner_mask.sum()) < 2:
             state[curr] = flag_iso_inner
             state_ver += 1
