@@ -432,13 +432,17 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from titanlib_spark.textops.multimodal import image_features
 
     m = _doc_media(spark, sf_dir)
-    out = image_features(m, out_dim=8)
+    # fixtures are synthetic text-bytes payloads: opt into the fake decode
+    # explicitly (the production default hard-errors on undecodable
+    # payloads) and surface the decode_ok flag the policy emits
+    out = image_features(m, out_dim=8, on_undecodable="fake")
     f = F.col("feature")
     return out.select(
         "media_id",
         F.size(f).alias("feature_dim"),
         F.round(F.element_at(f, 1).cast("double"), 3).alias("f0"),
         F.round(F.element_at(f, 8).cast("double"), 3).alias("f7"),
+        F.col("decode_ok").cast("int").alias("decode_ok"),
     ).orderBy("media_id")
 
 
@@ -1646,11 +1650,13 @@ bands AS (
   SELECT media_id, j, (sum(px)::DOUBLE / count(*)) / 255.0 AS m
   FROM px GROUP BY media_id, j
 )
-SELECT media_id, 8 AS feature_dim,
+SELECT b.media_id, 8 AS feature_dim,
        round((max(CASE WHEN j = 0 THEN m END)::REAL)::DOUBLE, 3) AS f0,
-       round((max(CASE WHEN j = 7 THEN m END)::REAL)::DOUBLE, 3) AS f7
-FROM bands GROUP BY media_id
-ORDER BY media_id
+       round((max(CASE WHEN j = 7 THEN m END)::REAL)::DOUBLE, 3) AS f7,
+       max(CASE WHEN sm.seed IS NULL THEN NULL ELSE 0 END) AS decode_ok
+FROM bands b JOIN sm ON b.media_id = sm.media_id
+GROUP BY b.media_id
+ORDER BY b.media_id
 """
 
     # LSH-gated exact n-gram jaccard (the 100 TB composition benched as a

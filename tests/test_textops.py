@@ -152,11 +152,15 @@ def test_multimodal_plumbing(spark):
     media = synthetic_media(spark, 30, seed=1).cache()
     assert media.count() == 30
     imgs = media.where(F.col("media_type") == "image")
-    feats = image_features(imgs, out_dim=8)
+    # synthetic payloads are random bytes: the fake-decode policy is the
+    # explicit opt-in (the default hard-errors, test_undecodable_policies)
+    feats = image_features(imgs, out_dim=8, on_undecodable="fake")
     rows = feats.collect()
     assert all(len(r.feature) == 8 for r in rows if r.feature is not None)
+    assert all(r.decode_ok is False for r in rows if r.feature is not None)
     # deterministic: same input -> same features
-    again = {r.media_id: r.feature for r in image_features(imgs, out_dim=8).collect()}
+    again = {r.media_id: r.feature
+             for r in image_features(imgs, out_dim=8, on_undecodable="fake").collect()}
     for r in rows:
         assert again[r.media_id] == r.feature
     vids = media.where(F.col("media_type") == "video")
@@ -310,3 +314,42 @@ def test_decoder_rejects_malformed_containers():
         + b"data" + struct.pack("<I", 0)
     )
     assert decode_wav(float_wav) is None  # IEEE-float fmt unsupported
+
+
+def test_undecodable_policies(spark):
+    """Fail-loud contract: an undecodable payload under the default policy
+    kills the job (no silently-wrong features at 100 TB); "null" emits
+    NULL feature + decode_ok=false (range-checkable downstream); a real
+    container decodes with decode_ok=true under any policy."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"\x00garbage-not-a-container"), 4, 4, None, None)],
+        "media_id long, media_type string, payload binary, width int, "
+        "height int, duration_s double, sample_rate int",
+    )
+    with _pytest.raises(Exception, match="undecodable image payload"):
+        image_features(df, out_dim=2).collect()
+
+    row = image_features(df, out_dim=2, on_undecodable="null").collect()[0]
+    assert row.feature is None and row.decode_ok is False
+
+    with _pytest.raises(ValueError, match="on_undecodable"):
+        image_features(df, out_dim=2, on_undecodable="bogus")
+
+    # a REAL container keeps decode_ok=true under the default policy
+    pix = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    ppm = b"P6\n4 4\n255\n" + pix.tobytes()
+    real = spark.createDataFrame(
+        [(2, "image", bytearray(ppm), 4, 4, None, None)], df.schema
+    )
+    r = image_features(real, out_dim=2).collect()[0]
+    assert r.decode_ok is True and r.feature is not None
+
+    # NULL payload -> NULL feature, NULL decode_ok (not false: absence,
+    # not failure)
+    nul = spark.createDataFrame(
+        [(3, "image", None, 4, 4, None, None)], df.schema
+    )
+    rn = image_features(nul, out_dim=2).collect()[0]
+    assert rn.feature is None and rn.decode_ok is None

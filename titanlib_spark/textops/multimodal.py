@@ -3,9 +3,11 @@
 Uncompressed containers decode for REAL with pure numpy — binary PPM (P6)
 and 24-bit BI_RGB BMP images, PCM-16 WAV audio — no codec library needed.
 Compressed formats (JPEG/PNG/MP3) still need PIL/torchaudio, so unknown
-payloads fall back to a clearly-marked deterministic fake (or a hard
-NotImplementedError with _FAKE_MODE off); everything Spark-side — schema,
-batch shape, Arrow transfer, partitioning — is real and tested either way.
+payloads HARD-ERROR by default (`on_undecodable="error"`); callers opt
+into NULL features + a decode_ok=false flag ("null") or, for synthetic
+fixtures/oracles only, a clearly-marked deterministic fake ("fake").
+Everything Spark-side — schema, batch shape, Arrow transfer,
+partitioning — is real and tested under every policy.
 
 Design rules for 100 TB media:
 * media stays an opaque `binary` column with typed metadata alongside
@@ -40,7 +42,14 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
-_FAKE_MODE = True  # flip to False to hard-error on undecodable payloads
+# undecodable-payload policy for image_features (fail-loud by default):
+#   "error" — raise NotImplementedError (a codec gap at 100 TB must be a
+#             loud failure, never silently-wrong features);
+#   "null"  — feature NULL + decode_ok false (rows are range-checkable
+#             downstream, the metadata_check idiom);
+#   "fake"  — deterministic arithmetic pixel field + decode_ok false
+#             (synthetic fixtures / oracle replay ONLY — opt-in).
+_UNDECODABLE_POLICIES = ("error", "null", "fake")
 
 
 def decode_ppm(payload: bytes) -> np.ndarray | None:
@@ -136,56 +145,84 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray] | None:
     return rate, samples.reshape(frames, n_ch).copy()
 
 
-def _decode_image_kernel(payload: bytes, width: int, height: int) -> np.ndarray:
+def _decode_image_kernel(
+    payload: bytes, width: int, height: int, on_undecodable: str = "error"
+) -> tuple[np.ndarray | None, bool]:
     """Image decode: REAL pure-numpy decoders for uncompressed containers
-    (binary PPM/P6 and 24-bit BI_RGB BMP — no codec library needed),
-    falling back to the deterministic arithmetic pixel field for payloads
-    that aren't such containers (the synthetic bench/oracle fixtures).
-    The fake is derived from payload length and dimensions so the whole
-    decode->pool path keeps an exact SQL twin (the `multimodal_features`
+    (binary PPM/P6 and 24-bit BI_RGB BMP — no codec library needed).
+    Returns (pixels, decode_ok). Payloads no real decoder claims follow
+    ``on_undecodable``: "error" raises (default — a codec gap must fail
+    loud), "null" returns (None, False), "fake" returns the deterministic
+    arithmetic pixel field with decode_ok=False (fixtures/oracles only;
+    the fake derives from payload length and dimensions so the whole
+    decode->pool path keeps an exact SQL twin: the `multimodal_features`
     DuckDB oracle replays pixel = (seed + 31r + 7c + 13ch) mod 256 and
     the band means). Compressed formats (JPEG/PNG) would slot in here via
-    PIL; with _FAKE_MODE off, unknown payloads hard-error instead."""
+    PIL and return decode_ok=True."""
     img = decode_ppm(payload)
     if img is None:
         img = decode_bmp(payload)
     if img is not None:
-        return img
-    if not _FAKE_MODE:
-        raise NotImplementedError("compressed container: install PIL here")
+        return img, True
+    if on_undecodable == "error":
+        raise NotImplementedError(
+            "undecodable image payload (compressed container? install PIL "
+            "here); pass on_undecodable='null' to emit NULL features with "
+            "decode_ok=false instead"
+        )
+    if on_undecodable == "null":
+        return None, False
     h, w = (height or 4), (width or 4)
     seed = (len(payload) * 2654435761 + w * 97 + h * 31) % 2147483647
     r = np.arange(h)[:, None, None]
     c = np.arange(w)[None, :, None]
     ch = np.arange(3)[None, None, :]
-    return ((seed + 31 * r + 7 * c + 13 * ch) % 256).astype(np.uint8)
+    return ((seed + 31 * r + 7 * c + 13 * ch) % 256).astype(np.uint8), False
 
 
 def image_features(
     df: DataFrame,
     payload_col: str = "payload",
     out_dim: int = 8,
+    on_undecodable: str = "error",
 ) -> DataFrame:
     """Decode -> pooled feature vector, batched via mapInPandas.
 
     Output schema: input columns (minus payload, which is pruned as early
-    as possible) + feature array<float>."""
+    as possible) + feature array<float> + decode_ok boolean (true = a real
+    decoder produced the pixels; false = fallback per ``on_undecodable``;
+    NULL = NULL payload). ``on_undecodable`` (see _UNDECODABLE_POLICIES)
+    defaults to "error": an undecodable payload fails the job rather than
+    silently producing wrong features."""
+    if on_undecodable not in _UNDECODABLE_POLICIES:
+        raise ValueError(f"on_undecodable must be one of {_UNDECODABLE_POLICIES}")
     out_fields = [f for f in df.schema.fields if f.name != payload_col]
     schema = T.StructType(
-        out_fields + [T.StructField("feature", T.ArrayType(T.FloatType()))]
+        out_fields
+        + [
+            T.StructField("feature", T.ArrayType(T.FloatType())),
+            T.StructField("decode_ok", T.BooleanType()),
+        ]
     )
     names = [f.name for f in out_fields]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
+            feats, oks = [], []
             for payload, w, h in zip(
                 pdf[payload_col], pdf.get("width"), pdf.get("height")
             ):
                 if payload is None:
                     feats.append(None)
+                    oks.append(None)
                     continue
-                img = _decode_image_kernel(bytes(payload), int(w or 0), int(h or 0))
+                img, ok = _decode_image_kernel(
+                    bytes(payload), int(w or 0), int(h or 0), on_undecodable
+                )
+                oks.append(ok)
+                if img is None:  # "null" policy fallback
+                    feats.append(None)
+                    continue
                 # mean-pool rows into out_dim horizontal bands (stand-in for
                 # a real embedding model; deterministic). Integer sums are
                 # exact in float64 regardless of summation order, so the
@@ -200,6 +237,7 @@ def image_features(
                 )
             out = pdf[names].copy()
             out["feature"] = feats
+            out["decode_ok"] = pd.array(oks, dtype="boolean")
             yield out
 
     return df.mapInPandas(gen, schema=schema)
