@@ -978,6 +978,69 @@ def q_windowed_keep_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_running_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful streaming operator (applyInPandasWithState
+    per-host running counts, streaming/pipeline.py:242) driven FOR REAL:
+    the documents table is staged as two parquet files, consumed as two
+    micro-batches (maxFilesPerTrigger=1 + availableNow), and the operator
+    must carry each host's totals across the batch boundary through the
+    state store. The final emission per host (running counts are
+    monotone, so max == last) must equal a plain GROUP BY over the whole
+    table — which is exactly the DuckDB oracle."""
+    import os
+    import tempfile
+
+    from titanlib_spark.streaming import running_host_quality
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/doc/"),
+            F.col("doc_id"),
+        ).alias("url"),
+        F.col("text"),
+    )
+    root = tempfile.mkdtemp(prefix="rhq_replay_")
+    src = os.path.join(root, "in")
+    # two files -> two micro-batches: totals MUST flow through the state
+    # store, not within-batch aggregation. Parity split so the oracle can
+    # name each half with plain SQL.
+    pages.where(F.col("doc_id") % 2 == 0).drop("doc_id").coalesce(1).write.mode(
+        "append").parquet(src)
+    pages.where(F.col("doc_id") % 2 == 1).drop("doc_id").coalesce(1).write.mode(
+        "append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("url string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = running_host_quality(stream, min_words=30)
+    qname = "rhq_" + os.path.basename(root).rsplit("_", 1)[-1]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emissions = spark.table(qname)
+    return (
+        emissions.groupBy("host")
+        .agg(
+            F.max("n_pages").alias("n_pages"),
+            F.max("n_keep").alias("n_keep"),
+            # the state really accumulated: >1 emission per host proves the
+            # second batch re-emitted grown totals (hosts span both halves)
+            F.count(F.lit(1)).alias("n_emissions"),
+        )
+        .orderBy("host")
+    )
+
+
 def q_range_check_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
     geo = _customer_geo(spark, sf_dir)
     out = range_check_climatology(
@@ -2161,6 +2224,21 @@ FROM documents
 GROUP BY 1
 """
 
+    # final state of the running per-host streaming aggregate == a plain
+    # GROUP BY over the whole table; n_emissions counts the parity halves
+    # (= micro-batches) each host appeared in
+    sql["running_host_quality"] = r"""
+SELECT source || '.example' AS host,
+       count(*) AS n_pages,
+       CAST(sum(CASE WHEN text IS NOT NULL
+                      AND len(regexp_split_to_array(trim(text), '\s+')) >= 30
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST(count(DISTINCT doc_id % 2) AS BIGINT) AS n_emissions
+FROM documents
+GROUP BY 1
+ORDER BY host
+"""
+
     sql["wt_pipeline"] = f"""
 WITH base AS (
   SELECT doc_id, text,
@@ -2276,6 +2354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wt_fingerprint": q_wt_fingerprint,
         "wt_pipeline": q_wt_pipeline,
         "windowed_keep_rates": q_windowed_keep_rates,
+        "running_host_quality": q_running_host_quality,
         "fgt_spatial": q_fgt_spatial,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
