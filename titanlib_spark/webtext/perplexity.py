@@ -126,47 +126,88 @@ def perplexity_outlier_check(
     df = ensure_flags(df, flag_col)
     # materialize the slim working set ONCE: every iteration makes several
     # passes (group stats, global stats, verdict join, fixpoint count) and
-    # must not re-run the upstream langid/feature UDF chain each time
-    slim = df.select(
-        F.col(id_col).alias("_pid"),
-        F.col(group_col),
-        F.col(ppl_col),
-        F.col(flag_col),
-        F.col(flag_col).alias("_flag0"),  # pre-loop flag, to extract the delta
-    ).localCheckpoint(eager=True)
-    prev_bad = slim.where(F.col(flag_col) != GOOD).count()
+    # must not re-run the upstream langid/feature UDF chain each time.
+    # Slim rows are ~5 narrow columns, so 1/8 of the parent's partitions
+    # keeps partition bytes comparable while cutting per-job task-launch
+    # overhead 8x for every loop pass (coalesce is narrow — no shuffle);
+    # the checkpoint is lazy so materialization folds into the first
+    # consuming job instead of costing its own.
+    n_parts = df.rdd.getNumPartitions()
+    slim = (
+        df.select(
+            F.col(id_col).alias("_pid"),
+            F.col(group_col),
+            F.col(ppl_col),
+            F.col(flag_col),
+            F.col(flag_col).alias("_flag0"),  # pre-loop flag -> the delta
+        )
+        .coalesce(max(8, n_parts // 8))
+        .localCheckpoint(eager=False)
+    )
+    num_iterations = int(num_iterations)
 
-    n_hosts = None  # host cardinality is loop-invariant: count it once
-    for _ in range(int(num_iterations)):
-        good = slim.where((F.col(flag_col) == GOOD) & F.col(ppl_col).isNotNull())
-        # one rollup job computes per-host stats AND the global background
-        # (the grand-total row) — the reference's global->outer hierarchy
+    # ONE driver job per iteration: the per-host rollup runs over the FULL
+    # slim frame with conditional aggregates (percentile/count ignore the
+    # non-good rows via when(); they match the filtered-input values
+    # exactly) and carries the frame-wide bad-row count, so fixpoint
+    # detection needs no separate count job — convergence is decided at
+    # the TOP of the next pass from the rollup it runs anyway. Checkpoints
+    # are lazy: iteration N's meta job materializes iteration N-1's
+    # verdict frame transitively. Rule 17 bookkeeping keeps a one-pass
+    # lag: a round's blocks are freed right after the next round's meta
+    # job materializes their successor.
+    good_cond = (F.col(flag_col) == GOOD) & F.col(ppl_col).isNotNull()
+    g_null = F.col(group_col).isNull()
+    prev_bad = None
+    n_hosts = None  # host cardinality is loop-invariant: read it once
+    pending_free: list[DataFrame] = []
+    for _ in range(num_iterations):
+        # per-host stats AND the global background (the rollup grand-total
+        # row) — the reference's global->outer hierarchy
         # (src/util.cpp:232-295) in a single shuffle
         stats = (
-            good.rollup(group_col)
+            slim.rollup(group_col)
             .agg(
-                F.expr(f"percentile({ppl_col}, 0.5)").alias("_h_mu"),
+                F.percentile(F.when(good_cond, F.col(ppl_col)), F.lit(0.5)).alias(
+                    "_h_mu"
+                ),
                 (
-                    F.expr(f"percentile({ppl_col}, 0.75)")
-                    - F.expr(f"percentile({ppl_col}, 0.25)")
+                    F.percentile(F.when(good_cond, F.col(ppl_col)), F.lit(0.75))
+                    - F.percentile(F.when(good_cond, F.col(ppl_col)), F.lit(0.25))
                 ).alias("_h_iqr"),
-                F.count(F.lit(1)).alias("_h_n"),
+                F.count(F.when(good_cond, F.lit(1))).alias("_h_n"),
+                F.sum((F.col(flag_col) != GOOD).cast("long")).alias("_n_bad"),
             )
-            .localCheckpoint(eager=True)  # stays distributed: host count is
-        )                                 # unbounded at web scale
-        global_row = stats.where(F.col(group_col).isNull()).first()
-        if global_row is None or global_row["_h_n"] == 0:
+            .localCheckpoint(eager=False)  # stays distributed: host count
+        )                                  # is unbounded at web scale
+        meta = stats.agg(
+            F.max(F.when(g_null, F.col("_h_mu"))).alias("g_mu"),
+            F.max(F.when(g_null, F.col("_h_iqr"))).alias("g_iqr"),
+            F.max(F.when(g_null, F.col("_h_n"))).alias("g_n"),
+            F.max(F.when(g_null, F.col("_n_bad"))).alias("n_bad"),
+            F.count(F.when(~g_null, F.lit(1))).alias("n_hosts"),
+        ).first()
+        # the meta job materialized this round's stats and (transitively)
+        # the previous round's verdict frame — their ancestors are dead now
+        for fr in pending_free:
+            fr.unpersist()
+        pending_free = []
+        if meta["g_n"] is None or meta["g_n"] == 0:
             break
-        g_mu, g_iqr, g_n = global_row["_h_mu"], global_row["_h_iqr"], global_row["_h_n"]
+        if prev_bad is not None and meta["n_bad"] == prev_bad:
+            break  # last verdict changed nothing: fixpoint
+        prev_bad = meta["n_bad"]
+        g_mu, g_iqr, g_n = meta["g_mu"], meta["g_iqr"], meta["g_n"]
         host_stats = stats.where(F.col(group_col).isNotNull())
 
         # checkpointed frames carry no size stats, so AQE can't see that
         # host_stats is tiny — hint broadcast explicitly while the host
         # cardinality is broadcastable (the common case: #hosts << #docs);
-        # beyond that fall back to a shuffle join. The count is taken once:
-        # hosts never appear mid-loop, so the plan choice is loop-invariant
+        # beyond that fall back to a shuffle join. Cardinality is read
+        # once: hosts never appear mid-loop, the plan choice is
+        # loop-invariant
         if n_hosts is None:
-            n_hosts = host_stats.count()
+            n_hosts = meta["n_hosts"]
         if n_hosts <= 2_000_000:
             host_stats = F.broadcast(host_stats)
         joined = slim.join(host_stats, on=group_col, how="left")
@@ -184,17 +225,12 @@ def perplexity_outlier_check(
             verdict = verdict & (F.col(ppl_col) > float(valid_max))
         new_slim = apply_check_flags(
             joined, F.when(verdict, BAD).otherwise(GOOD), flag_col
-        ).drop("_h_mu", "_h_iqr", "_h_n")
-        new_slim = new_slim.localCheckpoint(eager=True)
-        new_bad = new_slim.where(F.col(flag_col) != GOOD).count()
-        # rule 17: drop the previous round's blocks once the new round is
-        # materialized — dead checkpoints squeeze execution memory
-        slim.unpersist()
-        stats.unpersist()
+        ).drop("_h_mu", "_h_iqr", "_h_n", "_n_bad")
+        new_slim = new_slim.localCheckpoint(eager=False)
+        # slim/stats still back the lazy new_slim: free them only after
+        # the next pass (or the delta join) materializes it
+        pending_free = [slim, stats]
         slim = new_slim
-        if new_bad == prev_bad:
-            break
-        prev_bad = new_bad
 
     # join back only the DELTA — rows the loop newly flagged. Outliers are
     # rare by construction, so this side broadcasts at any corpus size and

@@ -154,11 +154,16 @@ def run_quality_pipeline(
     # downstream action that touches the broadcast side — the count here,
     # the ppl stage's slim checkpoint, the final write — re-executes the
     # slim window shuffle and rebuilds the broadcast (measured 3x window
-    # re-execution at bench scale)
+    # re-execution at bench scale). Lazy checkpoint: the count
+    # materializes the blocks in the same job instead of paying a
+    # separate eager-materialize job. (A/B-measured at 20k docs: this
+    # slim+broadcast shape beats the classic wide-frame window even at
+    # small scale — the re-executed wide shuffle costs more than the
+    # slim-projection jobs — so there is no small-input special case.)
     slim_dup = is_duplicate(
         df.select("_row_id", cfg.url_col, "content_hash", "warc_ts"),
         hash_col="content_hash",
-    ).where(F.col("is_duplicate")).select("_row_id").localCheckpoint(eager=True)
+    ).where(F.col("is_duplicate")).select("_row_id").localCheckpoint(eager=False)
     n_dup = slim_dup.count()
     if n_dup <= 1_000_000:
         hit = slim_dup.withColumn("_is_dup", F.lit(True))
