@@ -54,6 +54,9 @@ def run(cpus: int, sf_dir: str, qc_docs: int) -> dict:
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     d = json.loads(line)
     d["steal_pct_before"] = round(st, 1)
+    # bench.py stamps whole-window steal/iowait over its own run — the
+    # honest per-phase contention record (endpoint probes miss mid-run
+    # bursts; CLAUDE.md rule 13)
     return d
 
 
@@ -91,7 +94,11 @@ suite at {sf_dir}), two parallelism levels:
 * speedup {lo}->{hi} cores: **{speedup:.2f}x** (ideal {n}x)
 * scaling efficiency (speedup/{n}): **{eff:.2f}** (target >= 0.8)
 * reference formula eff (tests/benchmark.py:105-110, t_1 := t_{lo}): {eff_ref:.2f}
-* hypervisor steal before each phase: {r_lo['steal_pct_before']}% / {r_hi['steal_pct_before']}%
+* per-trial sec (best-of-3 is the reported number): \
+local[{lo}] {r_lo.get('qc_trials_sec')} / local[{hi}] {r_hi.get('qc_trials_sec')}
+* WHOLE-WINDOW hypervisor steal per phase: \
+{r_lo.get('steal_pct')}% / {r_hi.get('steal_pct')}% \
+(clean = <=2%: {bool(r_lo.get('steal_clean'))} / {bool(r_hi.get('steal_clean'))})
 """
     with open(os.path.join(REPO, "BENCH_SCALING.md"), "a") as f:
         f.write(block)

@@ -94,6 +94,20 @@ def three_phase_driver(
             F.floor(F.col("_sy") / cs).cast("int").alias("_cy"),
             F.floor(F.col("_sz") / cs).cast("int").alias("_cz"),
         )
+        # ACTIVE-CELL pruning: a phase only emits verdicts for centroids in
+        # its target state (phases 1/2 sweep NA rows, phase 3 re-tests BAD
+        # rows; non-obs rows are never centroids) — a cell with no such
+        # core row is a guaranteed kernel no-op, so don't ship it. The
+        # worst-offender process has a shrinking frontier: after the first
+        # passes most cells hold no NA rows and per-pass shuffle + Arrow +
+        # sweep cost collapses to the neighborhoods still converging,
+        # instead of re-paying the full 27x replication every pass.
+        target_state = BAD if phase == 3 else NA_STATE
+        active = (
+            cell.where((F.col("_sstate") == target_state) & F.col("_sobs"))
+            .select("_cx", "_cy", "_cz")
+            .distinct()
+        )
         offsets = F.array(
             *[
                 F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"), F.lit(dz).alias("dz"))
@@ -115,6 +129,7 @@ def three_phase_driver(
                 (F.col("_cy") + F.col("_o.dy")).alias("_cy"),
                 (F.col("_cz") + F.col("_o.dz")).alias("_cz"),
             )
+            .join(F.broadcast(active), on=["_cx", "_cy", "_cz"], how="leftsemi")
         )
 
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -125,6 +140,11 @@ def three_phase_driver(
         ).localCheckpoint(eager=True)  # small delta; force the big job once
 
     def merge_delta(frame: DataFrame, delta: DataFrame) -> DataFrame:
+        if delta.isEmpty():
+            # nothing changed: re-checkpointing the full frame would be a
+            # pure copy — keep the current blocks
+            delta.unpersist()
+            return frame
         upd = delta.select(
             F.col("_sid"),
             F.col("_state").alias("_new_state"),
