@@ -26,6 +26,7 @@ from titanlib_spark.webtext.pipeline import QualityFilterConfig, run_quality_pip
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 QC_DOCS = int(os.environ.get("SPARK_GRAFT_QC_DOCS", "20000"))
+QC_TRIALS = int(os.environ.get("SPARK_GRAFT_QC_TRIALS", "3"))
 
 # headline subset: scans/aggs/joins + one member of each QC family +
 # webtext/text-ops (minhash/sct excluded here: benchmarked via tests;
@@ -142,7 +143,12 @@ def main() -> None:
     # columns would otherwise ride through every shuffle and checkpoint
     # (expected_scrubbed_text alone doubles the payload)
     PAGE_COLS = ["url", "warc_ts", "html", "text", "lang"]
-    warm = generate_pages(spark, 2000, seed=7).select(PAGE_COLS).cache()
+    # warm-up scales with the input: a 2k-doc pass leaves python worker
+    # pools, memory arenas and checkpoint storage cold at multi-million-doc
+    # scale, so the first big trial still absorbed ~40% warm-up inflation
+    # (measured: monotone-decreasing trials at 0.5% steal)
+    warm_docs = max(2000, min(100_000, QC_DOCS // 4))
+    warm = generate_pages(spark, warm_docs, seed=7).select(PAGE_COLS).cache()
     warm.count()
     _scoped(lambda: materialize(
         run_quality_pipeline(warm, QualityFilterConfig()).select(
@@ -155,7 +161,7 @@ def main() -> None:
     pages.count()
 
     trials = []
-    for _ in range(3):  # best-of-3: transient in-VM contention (which does
+    for _ in range(QC_TRIALS):  # best-of-N: transient in-VM contention (which does
         # NOT register as hypervisor steal) inflates single trials 3-5x;
         # three trials make at least one clean window likely
         # free the previous trial's internal checkpoints (NOT the pages

@@ -24,17 +24,10 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run(cpus: int, sf_dir: str, qc_docs: int) -> dict:
+def run(cpus: int, sf_dir: str, qc_docs: int, max_attempts: int = 3) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from spatial_bench import steal_pct
 
-    st = steal_pct()
-    if st > 2.0:
-        print(
-            f"WARNING: {st:.1f}% hypervisor steal before local[{cpus}] phase — "
-            "numbers will be inflated by external contention",
-            file=sys.stderr,
-        )
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
@@ -44,19 +37,29 @@ def run(cpus: int, sf_dir: str, qc_docs: int) -> dict:
         # input must be large enough that compute dominates fixed overheads
         SPARK_GRAFT_SKIP_HEADLINE="1",
     )
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        capture_output=True,
-        text=True,
-        env=env,
-        timeout=3600,
-    )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    d = json.loads(line)
-    d["steal_pct_before"] = round(st, 1)
-    # bench.py stamps whole-window steal/iowait over its own run — the
-    # honest per-phase contention record (endpoint probes miss mid-run
-    # bursts; CLAUDE.md rule 13)
+    # a phase whose WHOLE-WINDOW steal exceeds 2% is box noise, not an
+    # engine measurement (CLAUDE.md rule 13) — retry it rather than record
+    # it; the stamp of the accepted attempt is written either way
+    for attempt in range(max_attempts):
+        st = steal_pct()
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=3600,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        d = json.loads(line)
+        d["steal_pct_before"] = round(st, 1)
+        d["attempts"] = attempt + 1
+        if d.get("steal_clean", True):
+            return d
+        print(
+            f"local[{cpus}] phase steal {d.get('steal_pct')}% > 2% — retrying "
+            f"({attempt + 1}/{max_attempts})",
+            file=sys.stderr,
+        )
     return d
 
 
