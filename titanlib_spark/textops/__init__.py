@@ -21,8 +21,13 @@ from titanlib_spark.textops.similarity import (
     with_normalized_embedding,
     cosine_topk,
     embedding_near_dup_pairs,
+    ivf_assign,
+    ivf_probe_cells,
+    ivf_topk,
+    kmeans_core,
     lsh_bucketed_topk,
     lsh_candidate_pairs,
+    train_ivf_centroids,
 )
 from titanlib_spark.textops.stats import (
     token_count,
@@ -41,6 +46,11 @@ __all__ = [
     "ngram_jaccard_pairs",
     "with_normalized_embedding",
     "cosine_topk",
+    "ivf_assign",
+    "ivf_probe_cells",
+    "ivf_topk",
+    "kmeans_core",
+    "train_ivf_centroids",
     "embedding_near_dup_pairs",
     "lsh_bucketed_topk",
     "lsh_candidate_pairs",
