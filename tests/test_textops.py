@@ -104,6 +104,41 @@ def test_ngram_jaccard_pairs(docs):
     assert (0, 3) not in got
 
 
+def test_ngram_jaccard_lsh_matches_exact_verifier(spark):
+    """The LSH-gated pipeline's array-intersect verify must produce
+    IDENTICAL jaccard values to the exact explode-join verifier for every
+    pair it emits, and recall the planted high-jaccard pairs; docs with
+    no shared bucket are absent, empty docs never pair."""
+    from titanlib_spark.textops.dedup import ngram_jaccard_pairs_lsh
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [(i, base + f"tail{i}") for i in range(6)]          # near-dups
+    rows += [(10 + i, f"doc {i} unrelated words " + " ".join(
+        f"w{i}_{j}" for j in range(30))) for i in range(4)]    # distinct
+    rows.append((99, ""))                                      # empty
+    docs = spark.createDataFrame(rows, "doc_id long, text string").cache()
+    docs.count()
+
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()
+    }
+    gated = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs_lsh(
+            docs, n=3, threshold=0.3, hash_fn="md5"
+        ).collect()
+    }
+    # every gated pair exists in the exact result with the SAME value
+    for pair, j in gated.items():
+        assert exact[pair] == j, pair
+    # the planted near-dup family is recalled (high jaccard -> >99% LSH)
+    planted = {p for p, j in exact.items() if j >= 0.8 and max(p) < 6}
+    assert planted and planted <= set(gated)
+    assert not any(99 in p for p in gated)
+    docs.unpersist()
+
+
 def test_cosine_topk_exact(spark):
     rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
     rows.append((4, [0.9, 0.1, 0.0, 0.0]))

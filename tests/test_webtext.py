@@ -173,6 +173,31 @@ def test_checkpoint_resume(spark, tmp_path):
     assert written.select("part_id").distinct().count() == 8
 
 
+def test_submit_entrypoint(spark, tmp_path):
+    """The spark-submit entrypoint drives the full resumable run from a
+    command line (main() attaches to the active session — the same code
+    path spark-submit executes on a cluster)."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    try:
+        from submit_pipeline import main, parse_args
+    finally:
+        sys.path.pop(0)
+
+    out = str(tmp_path / "qc_sub")
+    argv = ["--generate", "200", "--output", out, "--n-parts", "4", "--no-ppl"]
+    a = parse_args(argv)
+    assert a.generate == 200 and not a.input
+    s1 = main(argv)
+    assert s1["parts_completed"] == 4 and s1["n_docs"] == 200
+    s2 = main(argv)  # rerun resumes: nothing left to do
+    assert s2["parts_skipped"] == 4 and s2["n_docs"] == 0
+    written = spark.read.parquet(f"{out}/pages_qc")
+    assert written.count() == 200
+    assert set(written.columns) >= {"url", "keep", "reasons", "scrubbed_text"}
+
+
 def test_recrawl_same_url_keeps_first_no_fanout(spark):
     """Recrawls: duplicates sharing the KEEPER'S url (same url, later
     warc_ts, same content — the common case). The first occurrence must

@@ -94,6 +94,7 @@ def minhash_signatures(
     id_col: str | None = None,
     hash_fn: str = "xxhash64",
     gram_fn=None,
+    signatures_only: bool = False,
 ) -> DataFrame:
     """k-permutation MinHash over char shingles; signature[i] = min over
     shingles of h_i(s). Empty/too-short docs get a null signature.
@@ -109,7 +110,12 @@ def minhash_signatures(
     Spark's interpreted HOF path at ~100x the cost — same lesson as
     simhash_table. Requires a row key; pass `id_col` or a unique id column
     named `doc_id` must exist. `gram_fn` overrides the shingle expression
-    (e.g. word_ngrams) — it must yield a distinct array of strings."""
+    (e.g. word_ngrams) — it must yield a distinct array of strings.
+
+    `signatures_only=True` returns just (id_col, out_col) rows for docs
+    with >=1 shingle, skipping the join that re-attaches the signature to
+    the input frame — the shape LSH banding wants (it drops null
+    signatures anyway), one join fewer in the plan."""
     id_col = id_col or "doc_id"
     sh = gram_fn(text_col) if gram_fn is not None else char_shingles(text_col, shingle_size)
     exploded = df.select(F.col(id_col), F.explode(sh).alias("_s"))
@@ -134,6 +140,8 @@ def minhash_signatures(
         )
     sig = F.array(*[F.col(f"_m{i}") for i in range(num_hashes)])
     sigs = votes.select(F.col(id_col), sig.alias(out_col))
+    if signatures_only:
+        return sigs
     return df.join(sigs, on=id_col, how="left")
 
 
@@ -168,6 +176,10 @@ def minhash_lsh_candidates(
             F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), bucket_of)
         ).alias("band", "bucket"),
     )
+    # bucket-size cap via groupBy+join-back, NOT a window count: the
+    # partial (map-side) aggregation keeps a degenerate bucket cheap, and
+    # AQE's skew-join can split the join's hot partition — WindowExec
+    # would buffer the whole pathological bucket in one task instead
     counts = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_c"))
     banded = banded.join(
         counts.where(F.col("_c") <= max_bucket), on=["band", "bucket"]
@@ -394,58 +406,53 @@ def ngram_jaccard_pairs_lsh(
     exact verifier; common grams fan its self-join out quadratically).
 
     Plan: minhash over the SAME word n-grams -> banded buckets -> candidate
-    pairs (a < b) -> exact set intersection computed only for candidate
-    pairs (two gram joins bounded by the candidate list), |A ∪ B| by
-    inclusion-exclusion. With bands=16 over 64 hashes the gate recalls
-    >99% of pairs at jaccard >= 0.5 (1-(1-s^4)^16).
+    pairs (a < b) -> exact verify at DOC granularity: the candidate list
+    is bounded (max_bucket), so both gram ARRAYS are attached via two
+    broadcast-buildable joins and the intersection is a per-pair codegen'd
+    `array_intersect` — gram-level rows are never exploded or shuffled for
+    the verify (the old explode/shuffle-join verify cost ~2x this at
+    sf0.1). |A ∪ B| by inclusion-exclusion over array sizes (the gram
+    arrays are distinct by construction). With bands=16 over 64 hashes the
+    gate recalls >99% of pairs at jaccard >= 0.5 (1-(1-s^4)^16).
 
     The gram arrays are materialized ONCE (localCheckpoint) before fanning
-    out to the three consumers (signatures, both sides of the verify join,
-    sizes): gram generation is an interpreted-HOF expression that Spark
-    would otherwise re-evaluate per plan branch (~4x, measured ~50s extra
-    at sf0.1). The RESULT is also materialized (eager localCheckpoint) so
-    the gram blocks can be unpersisted before returning — otherwise every
-    call leaks storage blocks for the life of the JVM (a 12x slowdown once
-    dead blocks squeeze execution memory, measured). The returned pairs
-    frame is tiny (near-dup pairs at `threshold`).
+    out to the two consumers (signatures, verify): gram generation is an
+    interpreted-HOF expression that Spark would otherwise re-evaluate per
+    plan branch (~4x, measured ~50s extra at sf0.1). The RESULT is also
+    materialized (eager localCheckpoint) so the gram blocks can be
+    unpersisted before returning — otherwise every call leaks storage
+    blocks for the life of the JVM (a 12x slowdown once dead blocks
+    squeeze execution memory, measured). The returned pairs frame is tiny
+    (near-dup pairs at `threshold`).
 
     `broadcast_candidates` hints F.broadcast on the candidate-bounded
-    sides of the verify joins — the checkpointed ancestors carry no stats,
-    so AQE cannot discover they are small. Disable it if the candidate
-    list itself is huge (very loose threshold over very dirty data)."""
+    build sides of the verify joins — the checkpointed ancestors carry no
+    stats, so AQE cannot discover they are small. Disable it if the
+    candidate list itself is huge (very loose threshold over very dirty
+    data); the joins then fall back to shuffle joins on the ids."""
     grams = df.select(
         F.col(id_col), word_ngrams(text_col, n).alias("_g")
     ).localCheckpoint(eager=True)
     sigs = minhash_signatures(
         grams, "_g", num_hashes, id_col=id_col, hash_fn=hash_fn,
-        gram_fn=lambda t: F.col("_g"),
+        gram_fn=lambda t: F.col("_g"), signatures_only=True,
     )
     cands = minhash_lsh_candidates(
         sigs, id_col, "minhash", bands, max_bucket, hash_fn=hash_fn
     )
-    ex = grams.select(F.col(id_col), F.explode(F.col("_g")).alias("gram"))
-    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
     maybe_bc = F.broadcast if broadcast_candidates else (lambda d: d)
-    # grams of the a-side of each candidate pair, matched against b's grams
-    a_grams = ex.withColumnRenamed(id_col, "id_a").join(maybe_bc(cands), on="id_a")
-    inter = (
-        a_grams.alias("ag")
-        .join(
-            ex.withColumnRenamed(id_col, "id_b").alias("bg"),
-            (F.col("ag.id_b") == F.col("bg.id_b"))
-            & (F.col("ag.gram") == F.col("bg.gram")),
-        )
-        .groupBy("ag.id_a", "ag.id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    a_side = maybe_bc(cands).join(
+        grams.select(F.col(id_col).alias("id_a"), F.col("_g").alias("_ga")),
+        on="id_a",
     )
-    out = (
-        sizes.withColumnsRenamed({id_col: "id_a", "_sz": "sz_a"})
-        .join(maybe_bc(inter.select(F.col("id_a"), F.col("id_b"), "inter")), on="id_a")
-        .join(sizes.withColumnsRenamed({id_col: "id_b", "_sz": "sz_b"}), on="id_b")
+    pair_rows = maybe_bc(a_side).join(
+        grams.select(F.col(id_col).alias("id_b"), F.col("_g").alias("_gb")),
+        on="id_b",
     )
-    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    inter = F.size(F.array_intersect(F.col("_ga"), F.col("_gb")))
+    union = F.size(F.col("_ga")) + F.size(F.col("_gb")) - inter
     pairs = (
-        out.withColumn("jaccard", jac)
+        pair_rows.withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
         .localCheckpoint(eager=True)
