@@ -11,6 +11,23 @@ import os
 from pyspark.sql import SparkSession
 
 
+def spread_small_input(df, min_parts: int | None = None):
+    """Round-robin repartition a degenerately-partitioned input up to the
+    session's default parallelism.
+
+    A small table (one parquet file, a fresh createDataFrame) scans as 1-2
+    partitions, so every downstream per-row expression runs on one core
+    no matter how many the session has. At real scale the scan already
+    yields >= cores partitions and this is a no-op — the repartition only
+    fires (and is then trivially cheap) on inputs small enough to fit in a
+    couple of scan splits."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def get_spark(
     app_name: str = "titanlib_spark",
     master: str | None = None,

@@ -71,18 +71,37 @@ def _minhash_coeffs(num_hashes: int, seed: int = 42):
     b = rng.integers(0, MERSENNE31, size=num_hashes)
     return a.tolist(), b.tolist()
 
+def let_bound(expr: Column, body) -> Column:
+    """Evaluate `expr` ONCE per row and pass the materialized value to
+    `body` as a bound variable: element_at(transform(array(expr), body), 1).
+
+    This is the let-binding idiom for higher-order functions: a lambda that
+    references an OUTER expression re-evaluates it per element (Spark's
+    interpreted HOF path has no common-subexpression elimination —
+    CLAUDE.md rule 1), but a lambda VARIABLE is a materialized value.
+    Binding a 300-char regexp split this way took word 3-grams from 8.2s
+    to 0.5s per 5k docs/core (measured, scratch/hof_let_probe.py)."""
+    return F.element_at(F.transform(F.array(expr), body), 1)
+
+
 def char_shingles(text: str | Column, n: int = 5) -> Column:
     """Distinct lowercase character n-grams, computed JVM-side:
     sequence(1, len-n+1) -> substring — one codegen stage, no UDF.
+    The lowered text is let-bound so the per-gram substring indexes a
+    materialized string instead of re-lowering the document per element.
 
     NB: Spark's sequence(1, 0) yields the DESCENDING [1, 0], not an empty
     array, so too-short inputs need an explicit guard."""
-    t = F.lower(F.col(text) if isinstance(text, str) else text)
-    idx = F.sequence(F.lit(1), F.length(t) - (n - 1))
-    return F.when(
-        F.length(t) >= n,
-        F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, n))),
-    ).otherwise(F.array().cast("array<string>"))
+    t0 = F.lower(F.col(text) if isinstance(text, str) else text)
+
+    def shingles_of(t: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.length(t) - (n - 1))
+        return F.when(
+            F.length(t) >= n,
+            F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(n)))),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let_bound(t0, shingles_of)
 
 
 def minhash_signatures(
@@ -116,9 +135,14 @@ def minhash_signatures(
     with >=1 shingle, skipping the join that re-attaches the signature to
     the input frame — the shape LSH banding wants (it drops null
     signatures anyway), one join fewer in the plan."""
+    from titanlib_spark.session import spread_small_input
+
     id_col = id_col or "doc_id"
     sh = gram_fn(text_col) if gram_fn is not None else char_shingles(text_col, shingle_size)
-    exploded = df.select(F.col(id_col), F.explode(sh).alias("_s"))
+    # shingle generation + per-gram hashing is the map-side hot loop: spread
+    # a degenerately-partitioned input (single-file scan) across the cores
+    # before it runs; no-op on a well-partitioned table
+    exploded = spread_small_input(df).select(F.col(id_col), F.explode(sh).alias("_s"))
     if hash_fn == "md5":
         av, bv = _minhash_coeffs(num_hashes)
         hmod = md5_hash64(F.col("_s")) % MERSENNE31
@@ -246,31 +270,35 @@ def simhash(text: str | Column = "text", bits: int = 64) -> Column:
     """64-bit SimHash over whitespace tokens, fully JVM-side.
 
     Each token hashes to 64 bits; bit b of the fingerprint is the sign of
-    sum over tokens of (+1 if token bit set else -1). Each per-bit vote is
-    one `aggregate` over the (pre-hashed) token array; the 64 votes are
-    independent subexpressions of a single projection, so Catalyst
-    evaluates them in one codegen stage over one pass of cached hashes."""
+    sum over tokens of (+1 if token bit set else -1). The token-hash array
+    is let-bound (see :func:`let_bound`): the 64 per-bit `aggregate` votes
+    each reference it, and an unbound reference would re-split and re-hash
+    the document 64 times per row in the interpreted HOF path."""
     t = F.col(text) if isinstance(text, str) else text
     toks = F.split(F.lower(F.trim(t)), r"\s+")
-    hashes = F.transform(toks, lambda w: F.xxhash64(w))
-    def bit_vote(b: int) -> Column:
-        # NB: F.aggregate requires an exactly-2-arg merge lambda, so the
-        # loop variable is captured via this factory, not a default arg
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
+    hashes0 = F.transform(toks, lambda w: F.xxhash64(w))
 
-    sim = F.lit(0).cast("long")
-    for b in range(bits):
-        sim = sim.bitwiseOR(
-            F.when(bit_vote(b) > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
+    def fingerprint_of(hashes: Column) -> Column:
+        def bit_vote(b: int) -> Column:
+            # NB: F.aggregate requires an exactly-2-arg merge lambda, so the
+            # loop variable is captured via this factory, not a default arg
+            return F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
             )
-        )
-    return sim
+
+        sim = F.lit(0).cast("long")
+        for b in range(bits):
+            sim = sim.bitwiseOR(
+                F.when(
+                    bit_vote(b) > 0, F.shiftleft(F.lit(1).cast("long"), b)
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        return sim
+
+    return let_bound(hashes0, fingerprint_of)
 
 
 def simhash_table(
@@ -296,9 +324,11 @@ def simhash_table(
         token_hash = md5_hash64(F.col("_w"))
     else:
         token_hash = F.xxhash64(F.col("_w"))
-    exploded = df.select(F.col(id_col), F.explode(toks).alias("_w")).withColumn(
-        "_h", token_hash
-    )
+    from titanlib_spark.session import spread_small_input
+
+    exploded = spread_small_input(df).select(
+        F.col(id_col), F.explode(toks).alias("_w")
+    ).withColumn("_h", token_hash)
     votes = exploded.groupBy(id_col).agg(
         *[
             F.sum(
@@ -371,22 +401,30 @@ def simhash_near_pairs(
 # --- n-gram Jaccard ----------------------------------------------------------
 
 def word_ngrams(text: str | Column, n: int = 3) -> Column:
+    """Distinct word n-grams. The token array (a regexp split of the whole
+    document) is let-bound: referencing it directly from the per-gram
+    lambda would re-run the split per gram per element_at (17x slower at
+    ~50 words/doc, measured)."""
     t = F.col(text) if isinstance(text, str) else text
     toks = F.split(F.lower(F.trim(t)), r"\s+")
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    # element_at accesses, not slice(): slice copies an n-element array per
-    # gram in the interpreted HOF path (~3x the cost)
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + j) for j in range(n)]
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    def grams_of(w: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+        # element_at accesses, not slice(): slice copies an n-element array
+        # per gram in the interpreted HOF path (~3x the cost)
+        return F.when(
+            F.size(w) >= n,
+            F.array_distinct(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(w, i + j) for j in range(n)]
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let_bound(toks, grams_of)
 
 
 def ngram_jaccard_pairs_lsh(
@@ -430,7 +468,9 @@ def ngram_jaccard_pairs_lsh(
     stats, so AQE cannot discover they are small. Disable it if the
     candidate list itself is huge (very loose threshold over very dirty
     data); the joins then fall back to shuffle joins on the ids."""
-    grams = df.select(
+    from titanlib_spark.session import spread_small_input
+
+    grams = spread_small_input(df).select(
         F.col(id_col), word_ngrams(text_col, n).alias("_g")
     ).localCheckpoint(eager=True)
     sigs = minhash_signatures(
