@@ -58,7 +58,13 @@ DEFAULT_SF = "/root/testdata/sf0.001"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Table loader. Small-sf parquet ships as one file -> ONE scan
+    partition, which would serialize every per-row expression onto a
+    single core; spread_small_input round-robins it across the session
+    (a no-op against production tables whose scans already split)."""
+    from titanlib_spark.session import spread_small_input
+
+    return spread_small_input(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 # ---------------------------------------------------------------------------

@@ -97,6 +97,11 @@ def main() -> None:
         "titanlib_spark_bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=max(8, CPUS),
+        # pin the initial heap to the max: an unpinned 48g heap starts at
+        # ~2g and grows across the first big trial through repeated full
+        # GCs — the main source of the monotone-decreasing trial times the
+        # r3 scaling runs recorded (local[8] 150/134/99s at 0.9% steal)
+        extra_conf={"spark.driver.extraJavaOptions": "-Xms48g"},
     )
 
     def _persistent_rdds(sc):
@@ -146,8 +151,10 @@ def main() -> None:
     # warm-up scales with the input: a 2k-doc pass leaves python worker
     # pools, memory arenas and checkpoint storage cold at multi-million-doc
     # scale, so the first big trial still absorbed ~40% warm-up inflation
-    # (measured: monotone-decreasing trials at 0.5% steal)
-    warm_docs = max(2000, min(100_000, QC_DOCS // 4))
+    # (measured: monotone-decreasing trials at 0.5% steal). The cap is
+    # QC_DOCS//4: a 100k-capped warm-up left 2M-doc trials still warming
+    # through trial 2 (r3 scaling runs)
+    warm_docs = max(2000, min(500_000, QC_DOCS // 4))
     warm = generate_pages(spark, warm_docs, seed=7).select(PAGE_COLS).cache()
     warm.count()
     _scoped(lambda: materialize(
@@ -176,6 +183,11 @@ def main() -> None:
         for rdd_id, rdd in after.items():
             if rdd_id not in before:
                 rdd.unpersist(True)
+        # settle the heap between trials: the freed checkpoint blocks and
+        # the trial's allocation debt otherwise land as GC pauses INSIDE
+        # the next trial's window (local[2] trials drifted 289->342s)
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1.0)
     qc_sec = min(trials)
     times["webtext_qc_pipeline"] = round(qc_sec, 3)
     pages.unpersist()
