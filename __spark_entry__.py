@@ -59,12 +59,21 @@ DEFAULT_SF = "/root/testdata/sf0.001"
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Table loader. Small-sf parquet ships as one file -> ONE scan
-    partition, which would serialize every per-row expression onto a
-    single core; spread_small_input round-robins it across the session
-    (a no-op against production tables whose scans already split)."""
-    from titanlib_spark.session import spread_small_input
+    partition, which serializes every per-row expression onto a single
+    core — ruinous for `documents`, whose queries run interpreted-HOF
+    text expressions per row (quality-feature stage 1.35s -> 0.74s
+    spread, same-window A/B). Only documents is spread: the other
+    tables' queries shuffle immediately (aggs/joins) or fan out through
+    multi-branch plans where an extra Exchange per branch costs more
+    than the map side saves (embeddings A/B: near-dups 1.7s raw vs
+    2.5-3.0s spread). Production scans split on their own; see
+    titanlib_spark.session.spread_small_input."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "documents":
+        from titanlib_spark.session import spread_small_input
 
-    return spread_small_input(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        df = spread_small_input(df)
+    return df
 
 
 # ---------------------------------------------------------------------------

@@ -440,3 +440,55 @@ def test_ivf_topk_exact_full_probe_and_recall(spark):
                       vec_col="emb", id_col="vec_id").collect()
     assert len({r.vec_id for r in probe2} & {r.vec_id for r in exact}) >= len(overlap)
     df.unpersist()
+
+
+def test_let_bound_identity_and_hof_fixes(spark):
+    """let_bound(expr, body) == body applied to expr, including null rows;
+    the rewritten word_ngrams/char_shingles/simhash must equal a naive
+    (unbound) reconstruction on real-ish text."""
+    from pyspark.sql import functions as F
+    from titanlib_spark.textops.dedup import (
+        char_shingles, let_bound, simhash, word_ngrams)
+
+    rows = [(1, "The quick brown fox jumps over the lazy dog"),
+            (2, "a b"), (3, ""), (4, None),
+            (5, "Repeat repeat REPEAT repeat words words"),]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = d.select(
+        "doc_id",
+        let_bound(F.length(F.coalesce("text", F.lit(""))), lambda n: n * 2).alias("dbl"),
+        word_ngrams("text", 3).alias("w3"),
+        char_shingles("text", 5).alias("c5"),
+        simhash("text").alias("sh"),
+    ).orderBy("doc_id").collect()
+
+    # naive reference: same math, python-side
+    for r, (i, txt) in zip(got, rows):
+        t = (txt or "").strip().lower()
+        toks = [w for w in t.split() if w] if t else []
+        w3 = list(dict.fromkeys(
+            " ".join(toks[j:j + 3]) for j in range(len(toks) - 2)
+        )) if len(toks) >= 3 else []
+        low = (txt or "").lower()
+        c5 = list(dict.fromkeys(
+            low[j:j + 5] for j in range(len(low) - 4)
+        )) if len(low) >= 5 else []
+        assert r.dbl == len(txt or "") * 2
+        assert r.w3 == w3, (i, r.w3, w3)
+        assert r.c5 == c5, (i, r.c5, c5)
+    # simhash: non-trivial docs give non-zero fingerprints; empty gives
+    # something deterministic (all-bits from zero votes)
+    assert got[0].sh != got[4].sh
+
+
+def test_spread_small_input(spark):
+    from titanlib_spark.session import spread_small_input
+
+    tiny = spark.range(100).coalesce(1)
+    spread = spread_small_input(tiny)
+    assert spread.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    assert spread.count() == 100
+    # already-wide inputs pass through untouched (identical plan object)
+    wide = spark.range(1000).repartition(spark.sparkContext.defaultParallelism * 2)
+    assert spread_small_input(wide) is wide
