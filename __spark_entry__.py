@@ -587,6 +587,26 @@ def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch replay of the streaming cross-batch NEAR-dup stage
+    (streaming/near_dedup.py): documents split into 3 pseudo micro-batches
+    (batch_id = doc_id % 3); a doc is a near-dup candidate iff any of its
+    MinHash-LSH band buckets is also held by a doc with a smaller
+    (batch, id) — the state-store claim order. Same md5 signature math as
+    minhash_sigs, so the full composition is value-oracled; the streaming
+    path itself is asserted equal to this replay in
+    tests/test_streaming.py."""
+    from titanlib_spark.streaming.near_dedup import near_dup_marks_batch
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "batch_id", (F.col("doc_id") % 3).cast("long")
+    )
+    out = near_dup_marks_batch(d, "batch_id", "doc_id", "text")
+    return out.select(
+        "doc_id", "batch_id", F.col("near_dup").cast("int").alias("near_dup")
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from titanlib_spark.textops.dedup import simhash_table
 
@@ -1757,6 +1777,32 @@ WHERE doc_id NOT IN (SELECT doc_id FROM losers)
 ORDER BY doc_id
 """
 
+    # streaming near-dup batch replay: same sigs CTE, band buckets, then
+    # first-claim order on (batch, id) packed into one comparable key
+    sql["streaming_near_dups"] = f"""
+WITH {_minhash_base.strip()},
+bd AS (
+  SELECT doc_id, doc_id % 3 AS batch_id, b AS band,
+         array_to_string(sig[b*4+1 : b*4+4], ',') AS bucket
+  FROM sigs, (SELECT unnest(range(0, 16)) AS b)
+),
+firsts AS (
+  SELECT band, bucket, min(batch_id * 10000000 + doc_id) AS first_key
+  FROM bd GROUP BY band, bucket
+),
+hits AS (
+  SELECT bd.doc_id,
+         max(CASE WHEN bd.batch_id * 10000000 + bd.doc_id > f.first_key
+                  THEN 1 ELSE 0 END) AS near_dup
+  FROM bd JOIN firsts f ON bd.band = f.band AND bd.bucket = f.bucket
+  GROUP BY bd.doc_id
+)
+SELECT d.doc_id, d.doc_id % 3 AS batch_id,
+       coalesce(h.near_dup, 0) AS near_dup
+FROM documents d LEFT JOIN hits h USING (doc_id)
+ORDER BY doc_id
+"""
+
     _tok_h = (
         "('0x' || substring(md5(unnest(regexp_split_to_array("
         "lower(trim(text)), '\\s+'))), 1, 15))::BIGINT"
@@ -2464,6 +2510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "minhash_dedup": q_minhash_dedup,
         "minhash_sigs": q_minhash_sigs,
+        "streaming_near_dups": q_streaming_near_dups,
         "simhash": q_simhash,
         "lag_filter": q_lag_filter,
         "sct": q_sct,

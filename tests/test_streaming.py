@@ -270,3 +270,82 @@ def test_cross_batch_dedup_null_url_unhashable_row(spark, tmp_path):
     # unhashable rows are never cross-batch duplicates, just dropped as empty
     assert nulls.where(F.array_contains("reasons", "cross_batch_duplicate")).count() == 0
     assert nulls.where(F.col("keep")).count() == 0
+
+
+def test_cross_batch_near_dups_stream_matches_batch_replay(spark, tmp_path):
+    """MinHash-LSH state-store near-dup marking: near-clones arriving in a
+    LATER micro-batch are flagged, dissimilar docs are not, and the
+    streaming verdicts equal the oracle-checked batch replay
+    (near_dup_marks_batch) on the same batch split."""
+    from titanlib_spark.streaming.near_dedup import (
+        fold_near_dup_verdicts,
+        mark_cross_batch_near_dups,
+        near_dup_marks_batch,
+    )
+
+    src = str(tmp_path / "nd_in")
+    out = str(tmp_path / "nd_out")
+    ckpt = str(tmp_path / "nd_ckpt")
+
+    import random
+
+    rng = random.Random(13)
+    words = [f"tok{i}" for i in range(400)]
+    bases = [
+        " ".join(rng.choice(words) for _ in range(60)) for _ in range(8)
+    ]
+    batch1 = [(i, bases[i]) for i in range(8)]
+    batch1.append((8, "tiny"))          # no shingle at n=5? len>=5 -> has
+    batch1.append((9, None))            # null text: never a candidate
+    # batch 2: near-clones of docs 0-3 (tail append: high shingle overlap),
+    # plus 4 fresh dissimilar docs
+    batch2 = [(100 + i, bases[i] + " zz") for i in range(4)]
+    batch2 += [
+        (200 + i, " ".join(rng.choice(words) for _ in range(60)))
+        for i in range(4)
+    ]
+
+    schema = "doc_id long, text string"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        marked = mark_cross_batch_near_dups(stream, key_col="doc_id")
+
+        def proc(bdf, bid):
+            folded = fold_near_dup_verdicts(bdf, key_col="doc_id")
+            folded.select("doc_id", "_xb_near_dup").write.mode("append").parquet(out)
+
+        q = (
+            marked.writeStream.foreachBatch(proc)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    drain()
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    got = {
+        r.doc_id: r._xb_near_dup for r in spark.read.parquet(out).collect()
+    }
+    assert len(got) == len(batch1) + len(batch2)
+    # clones flagged, their batch-1 originals not, fresh docs not
+    for i in range(4):
+        assert got[100 + i] is True, (100 + i, got)
+        assert got[i] is False
+    for i in range(4):
+        assert got[200 + i] is False
+    assert got[9] is False
+
+    # exact agreement with the oracle-checked batch replay
+    all_rows = [(0, i, t) for i, t in batch1] + [(1, i, t) for i, t in batch2]
+    replay = near_dup_marks_batch(
+        spark.createDataFrame(all_rows, "batch_id long, doc_id long, text string"),
+        "batch_id", "doc_id", "text",
+    )
+    want = {r.doc_id: r.near_dup for r in replay.collect()}
+    assert got == want
