@@ -587,6 +587,23 @@ def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring (copied-passage) dedup via robust winnowing
+    (textops/dedup.py winnowed_fingerprints — the MOSS scheme): pairs
+    sharing >= 1 selected fingerprint of 8-token windows, k=4 selection
+    runs, md5-60bit hashes so the whole chain (windows -> hashes ->
+    rightmost-min winnowing -> shared-fingerprint pairs) has a DuckDB
+    value twin."""
+    from titanlib_spark.textops.dedup import duplicate_passage_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = duplicate_passage_pairs(
+        d, id_col="doc_id", text_col="text", w=8, k=4, min_shared=1,
+        hash_fn="md5",
+    )
+    return pairs.select("id_a", "id_b", "n_shared")
+
+
 def q_streaming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch replay of the streaming cross-batch NEAR-dup stage
     (streaming/near_dedup.py): documents split into 3 pseudo micro-batches
@@ -1777,6 +1794,43 @@ WHERE doc_id NOT IN (SELECT doc_id FROM losers)
 ORDER BY doc_id
 """
 
+    # winnowed passage dedup: 8-token windows -> 60-bit md5 hashes ->
+    # rightmost-min selection over k=4 frames (full frames only) ->
+    # distinct per-doc fingerprints -> bucket-capped shared-fp pairs
+    sql["dup_passages"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+),
+wins AS (
+  SELECT doc_id,
+         unnest(range(0, greatest(len(tk) - 7, 0))) AS pos,
+         tk FROM toks
+),
+h AS (
+  SELECT doc_id, pos,
+         ('0x' || substring(md5(array_to_string(tk[pos+1 : pos+8], ' ')),
+                            1, 15))::BIGINT AS h
+  FROM wins
+),
+frames AS (
+  SELECT s.doc_id, s.pos AS start, m.h,
+         row_number() OVER (PARTITION BY s.doc_id, s.pos
+                            ORDER BY m.h ASC, m.pos DESC) AS rn,
+         count(*) OVER (PARTITION BY s.doc_id, s.pos) AS cnt
+  FROM h s JOIN h m ON m.doc_id = s.doc_id
+                   AND m.pos BETWEEN s.pos AND s.pos + 3
+),
+sel AS (SELECT DISTINCT doc_id, h FROM frames WHERE rn = 1 AND cnt = 4),
+ok AS (SELECT h FROM sel GROUP BY h HAVING count(*) <= 1000)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM sel a JOIN ok USING (h)
+JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 1
+ORDER BY id_a, id_b
+"""
+
     # streaming near-dup batch replay: same sigs CTE, band buckets, then
     # first-claim order on (batch, id) packed into one comparable key
     sql["streaming_near_dups"] = f"""
@@ -2511,6 +2565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "minhash_sigs": q_minhash_sigs,
         "streaming_near_dups": q_streaming_near_dups,
+        "dup_passages": q_dup_passages,
         "simhash": q_simhash,
         "lag_filter": q_lag_filter,
         "sct": q_sct,

@@ -492,3 +492,52 @@ def test_spread_small_input(spark):
     # already-wide inputs pass through untouched (identical plan object)
     wide = spark.range(1000).repartition(spark.sparkContext.defaultParallelism * 2)
     assert spread_small_input(wide) is wide
+
+
+def test_winnowed_passage_dedup_guarantee(spark):
+    """Winnowing theorem: an exact shared run of >= w + k - 1 tokens is
+    caught regardless of its offset in either document; dissimilar docs
+    and sub-threshold docs produce no pairs."""
+    from titanlib_spark.textops.dedup import (
+        duplicate_passage_pairs, winnowed_fingerprints)
+
+    w, k = 8, 4
+    passage = " ".join(f"p{i}" for i in range(w + k - 1))  # 11 tokens
+    rows = [
+        (1, "alpha start " + passage + " one tail here"),
+        (2, "a very different and much longer prefix before " + passage),
+        (3, " ".join(f"x{i}" for i in range(40))),        # unrelated
+        (4, "short doc only"),                             # < w tokens
+        (5, " ".join(f"y{i}" for i in range(9))),          # w <= n < w+k-1
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    fps = winnowed_fingerprints(d, w=w, k=k).cache()
+    by_doc = {r.doc_id: r.n for r in
+              fps.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()}
+    assert 4 not in by_doc                 # no window at all
+    assert 5 not in by_doc                 # windows but no full k-frame
+    assert by_doc.get(3, 0) > 0
+
+    pairs = {(r.id_a, r.id_b): r.n_shared
+             for r in duplicate_passage_pairs(d, w=w, k=k).collect()}
+    assert (1, 2) in pairs                 # guaranteed despite offset shift
+    assert all(p == (1, 2) for p in pairs), pairs
+    fps.unpersist()
+
+
+def test_winnowing_selection_density(spark):
+    """Selection density over random text is ~2/(k+1) of positions (the
+    winnowing expected density) — sanity that the k-frame argmin isn't
+    selecting everything or nothing."""
+    import random
+
+    from titanlib_spark.textops.dedup import token_window_hashes, winnowed_fingerprints
+
+    rng = random.Random(7)
+    text = " ".join(f"t{rng.randrange(10**9)}" for _ in range(3000))
+    d = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    n_pos = token_window_hashes(d, w=8).count()
+    n_sel = winnowed_fingerprints(d, w=8, k=4).count()
+    frac = n_sel / n_pos
+    assert 0.25 < frac < 0.55, frac        # 2/(k+1) = 0.4 expected

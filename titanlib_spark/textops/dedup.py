@@ -541,3 +541,138 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# --- exact-substring (passage) dedup via robust winnowing --------------------
+
+def token_window_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Positioned w-token window hashes: one slim (id, pos, h) row per
+    token position (pos 0-based, windows overlap with stride 1). The
+    window string is the space-joined lowercase token run — NOT distinct
+    (positions matter for winnowing). hash_fn="md5" uses the 60-bit
+    DuckDB-expressible hash. The token array is let-bound (rule 1)."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(F.lower(F.trim(t)), r"\s+")
+
+    def windows_of(wd: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(wd) - (w - 1))
+        return F.when(
+            F.size(wd) >= w,
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(wd, i + j) for j in range(w)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    from titanlib_spark.session import spread_small_input
+
+    exploded = spread_small_input(df).select(
+        F.col(id_col),
+        F.posexplode(let_bound(toks, windows_of)).alias("pos", "_win"),
+    )
+    h = md5_hash64(F.col("_win")) if hash_fn == "md5" else F.xxhash64(F.col("_win"))
+    return exploded.select(F.col(id_col), "pos", h.alias("h"))
+
+
+def winnowed_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 8,
+    k: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Robust winnowing (Schleimer, Wilkerson, Aiken — the MOSS
+    fingerprinting scheme) over w-token window hashes: every run of k
+    consecutive window hashes selects its minimum (rightmost position on
+    ties), and the distinct selections are the document's fingerprints.
+    Winnowing theorem: any exact shared token run of >= w + k - 1 tokens
+    between two documents is GUARANTEED to share at least one selected
+    fingerprint, at ~2/(k+1) selection density — the offset-invariant
+    exact-substring dedup gate (docs shorter than w + k - 1 tokens yield
+    no fingerprint; size the thresholds to the passage length you must
+    catch).
+
+    Plan shape: one explode to slim (id, pos, h) rows, ONE shuffle
+    (window partitioned by id), per-start argmin over a k-row frame via
+    collect_list + a k-element fold (k is small and the lambda touches
+    only its own variables — interpreted-HOF safe). Returns distinct
+    (id, fp_pos, fp) rows."""
+    hashes = token_window_hashes(df, id_col, text_col, w, hash_fn)
+    frame = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, k - 1)
+    pairs = F.collect_list(F.struct(F.col("h"), F.col("pos"))).over(frame)
+    start = df.sparkSession  # noqa: F841  (kept for plan-debug hooks)
+    sel = F.aggregate(
+        F.col("_frame"),
+        F.struct(
+            F.lit((1 << 62) - 1 + (1 << 62)).cast("long").alias("h"),
+            F.lit(-1).cast("int").alias("pos"),
+        ),
+        lambda acc, x: F.when(
+            (x["h"] < acc["h"]) | ((x["h"] == acc["h"]) & (x["pos"] > acc["pos"])),
+            x,
+        ).otherwise(acc),
+    )
+    return (
+        hashes.withColumn("_frame", pairs)
+        .where(F.size("_frame") == k)  # only full k-windows select
+        .withColumn("_sel", sel)
+        .select(
+            F.col(id_col),
+            F.col("_sel.pos").alias("fp_pos"),
+            F.col("_sel.h").alias("fp"),
+        )
+        .distinct()
+    )
+
+
+def duplicate_passage_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 8,
+    k: int = 4,
+    min_shared: int = 1,
+    max_bucket: int = 1000,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Document pairs (id_a < id_b) sharing >= min_shared winnowed
+    fingerprints — the exact-substring (copied-passage) dedup gate of the
+    training-data pipeline (C4 / Lee et al. exact-substring dedup family,
+    recast from suffix arrays to distributed fingerprint buckets).
+
+    n_shared counts DISTINCT shared fingerprint values; a fingerprint
+    held by more than `max_bucket` documents is dropped as boilerplate
+    (the num_max truncation idea again) so no bucket self-join can go
+    quadratic. 60-bit hash collisions are ~2^-60 per pair-window and are
+    accepted as gate noise (pair verification, where needed, is an exact
+    substring compare on the w-token windows at fp_pos)."""
+    fps = winnowed_fingerprints(df, id_col, text_col, w, k, hash_fn).select(
+        F.col(id_col), "fp"
+    ).distinct()
+    counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_c"))
+    bounded = fps.join(
+        counts.where(F.col("_c") <= max_bucket), on="fp"
+    ).drop("_c")
+    a, b = bounded.alias("a"), bounded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
