@@ -16,6 +16,9 @@ from titanlib_spark.textops.dedup import (
     simhash,
     simhash_table,
     ngram_jaccard_pairs,
+    token_window_hashes,
+    winnowed_fingerprints,
+    duplicate_passage_pairs,
 )
 from titanlib_spark.textops.similarity import (
     with_normalized_embedding,
@@ -44,6 +47,9 @@ __all__ = [
     "simhash",
     "simhash_table",
     "ngram_jaccard_pairs",
+    "token_window_hashes",
+    "winnowed_fingerprints",
+    "duplicate_passage_pairs",
     "with_normalized_embedding",
     "cosine_topk",
     "ivf_assign",
