@@ -609,7 +609,6 @@ def winnowed_fingerprints(
     hashes = token_window_hashes(df, id_col, text_col, w, hash_fn)
     frame = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, k - 1)
     pairs = F.collect_list(F.struct(F.col("h"), F.col("pos"))).over(frame)
-    start = df.sparkSession  # noqa: F841  (kept for plan-debug hooks)
     sel = F.aggregate(
         F.col("_frame"),
         F.struct(
