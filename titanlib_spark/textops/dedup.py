@@ -653,16 +653,26 @@ def duplicate_passage_pairs(
     (the num_max truncation idea again) so no bucket self-join can go
     quadratic. 60-bit hash collisions are ~2^-60 per pair-window and are
     accepted as gate noise (pair verification, where needed, is an exact
-    substring compare on the w-token windows at fp_pos)."""
-    fps = winnowed_fingerprints(df, id_col, text_col, w, k, hash_fn).select(
-        F.col(id_col), "fp"
-    ).distinct()
+    substring compare on the w-token windows at fp_pos).
+
+    The fingerprint frame is materialized ONCE (localCheckpoint): three
+    plan branches consume it (bucket counts + both self-join sides), and
+    without the checkpoint Catalyst re-runs the whole explode + window +
+    winnow chain per branch (4 scans of the input, seen in .explain).
+    The tiny pairs result is checkpointed eagerly so the fingerprint
+    blocks can be freed before returning (rule 17)."""
+    fps = (
+        winnowed_fingerprints(df, id_col, text_col, w, k, hash_fn)
+        .select(F.col(id_col), "fp")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_c"))
     bounded = fps.join(
         counts.where(F.col("_c") <= max_bucket), on="fp"
     ).drop("_c")
     a, b = bounded.alias("a"), bounded.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.fp") == F.col("b.fp"))
@@ -674,4 +684,7 @@ def duplicate_passage_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
+        .localCheckpoint(eager=True)
     )
+    fps.unpersist()
+    return pairs
