@@ -1841,12 +1841,12 @@ bd AS (
   FROM sigs, (SELECT unnest(range(0, 16)) AS b)
 ),
 firsts AS (
-  SELECT band, bucket, min(batch_id * 10000000 + doc_id) AS first_key
+  SELECT band, bucket, min(batch_id * (1::BIGINT << 40) + doc_id) AS first_key  -- doc_id < 2^40
   FROM bd GROUP BY band, bucket
 ),
 hits AS (
   SELECT bd.doc_id,
-         max(CASE WHEN bd.batch_id * 10000000 + bd.doc_id > f.first_key
+         max(CASE WHEN bd.batch_id * (1::BIGINT << 40) + bd.doc_id > f.first_key
                   THEN 1 ELSE 0 END) AS near_dup
   FROM bd JOIN firsts f ON bd.band = f.band AND bd.bucket = f.bucket
   GROUP BY bd.doc_id

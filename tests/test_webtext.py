@@ -234,3 +234,31 @@ def test_recrawl_same_url_keeps_first_no_fanout(spark):
         assert others.where(~F.col("keep")).count() == 0
     finally:
         out.unpersist()
+
+
+def test_ppl_outlier_null_hosts_do_not_corrupt_global(spark):
+    """Regression (round-5 advice): with NULL hosts present, rollup emits a
+    NULL-host *detail* group alongside the grand-total row; keying the
+    global background on `group_col IS NULL` could blend fields across the
+    two (e.g. the NULL-host median with the grand-total count). The global
+    row must be selected by grouping()==1. Construction: true global
+    median 2.0 / IQR 6.0 makes ppl=17 a z=2.14 outlier at threshold 2, but
+    a blend that takes the NULL-host median (8.0) would read z=1.29 and
+    miss it."""
+    from titanlib_spark.flags import BAD, GOOD
+    from titanlib_spark.webtext.perplexity import perplexity_outlier_check
+
+    rows = (
+        [(f"http://big.example/{i}", "big.example", 2.0) for i in range(20)]
+        + [(f"null-{i}", None, 8.0) for i in range(15)]
+        + [("http://thin.example/0", "thin.example", 17.0)]
+    )
+    df = spark.createDataFrame(rows, "url string, host string, ppl double")
+    out = perplexity_outlier_check(
+        df, group_col="host", threshold=2.0, num_min=5, id_col="url"
+    ).collect()
+    flags = {r["url"]: r["flags"] for r in out}
+    assert flags["http://thin.example/0"] == BAD
+    assert all(
+        v == GOOD for k, v in flags.items() if k != "http://thin.example/0"
+    ), "non-outlier rows (incl. NULL-host docs) must stay GOOD"

@@ -192,11 +192,20 @@ def mark_cross_batch_near_dups(
     )
 
 
-def fold_near_dup_verdicts(batch_df: DataFrame, key_col: str = "url") -> DataFrame:
+def fold_near_dup_verdicts(
+    batch_df: DataFrame, key_col: str = "url", assert_unique: bool = True
+) -> DataFrame:
     """Batch-local fold (run inside foreachBatch): collapse the marked
     band rows onto their payload rows as one boolean `_xb_near_dup` —
     true iff ANY band bucket was already claimed. Pages with no signature
-    (too-short/NULL text) have no band rows and fold to false."""
+    (too-short/NULL text) have no band rows and fold to false.
+
+    `assert_unique` (default on) fails loud when `key_col` is NOT
+    row-unique within the micro-batch (recrawls keyed by url): duplicate
+    keys would silently fan one verdict across all payload rows of the
+    key and make the within-bucket claim tiebreak ambiguous. The check is
+    one partial-agg count over the slim key column per micro-batch; pass
+    False only if the source guarantees uniqueness upstream."""
     hits = (
         batch_df.where(F.col("_band") >= 0)
         .groupBy(key_col)
@@ -205,6 +214,21 @@ def fold_near_dup_verdicts(batch_df: DataFrame, key_col: str = "url") -> DataFra
     payload = batch_df.where(F.col("_band") == _PAYLOAD_BAND).drop(
         "_band", "_bucket", "_xb_near_hit"
     )
+    if assert_unique:
+        dup = (
+            payload.groupBy(key_col)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"fold_near_dup_verdicts: key_col={key_col!r} is not "
+                f"row-unique in this micro-batch (e.g. {dup[0][key_col]!r} "
+                f"x{dup[0]['count']}); stamp a surrogate key upstream or "
+                "pass assert_unique=False if uniqueness is guaranteed."
+            )
     return payload.join(F.broadcast(hits), on=key_col, how="left").withColumn(
         "_xb_near_dup", F.coalesce(F.col("_xb_near_dup"), F.lit(False))
     )

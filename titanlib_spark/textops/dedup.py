@@ -481,14 +481,19 @@ def ngram_jaccard_pairs_lsh(
         sigs, id_col, "minhash", bands, max_bucket, hash_fn=hash_fn
     )
     maybe_bc = F.broadcast if broadcast_candidates else (lambda d: d)
-    a_side = maybe_bc(cands).join(
-        grams.select(F.col(id_col).alias("id_a"), F.col("_g").alias("_ga")),
-        on="id_a",
-    )
-    pair_rows = maybe_bc(a_side).join(
-        grams.select(F.col(id_col).alias("id_b"), F.col("_g").alias("_gb")),
-        on="id_b",
-    )
+    # only the SLIM cands frame is ever broadcast: each side's gram array
+    # is attached independently (grams streams against the broadcast), and
+    # the two candidate-bounded attachments join on the pair key — a
+    # shuffle bounded by n_candidates x one array per row. Broadcasting an
+    # array-carrying side (the old a_side shape) scaled the broadcast as
+    # n_candidates x per-doc gram bytes and could OOM on a dirty corpus.
+    a_side = grams.select(
+        F.col(id_col).alias("id_a"), F.col("_g").alias("_ga")
+    ).join(maybe_bc(cands), on="id_a")
+    b_side = grams.select(
+        F.col(id_col).alias("id_b"), F.col("_g").alias("_gb")
+    ).join(maybe_bc(cands.select("id_b").distinct()), on="id_b")
+    pair_rows = a_side.join(b_side, on="id_b")
     inter = F.size(F.array_intersect(F.col("_ga"), F.col("_gb")))
     union = F.size(F.col("_ga")) + F.size(F.col("_gb")) - inter
     pairs = (

@@ -157,17 +157,22 @@ def perplexity_outlier_check(
     # lag: a round's blocks are freed right after the next round's meta
     # job materializes their successor.
     good_cond = (F.col(flag_col) == GOOD) & F.col(ppl_col).isNotNull()
-    g_null = F.col(group_col).isNull()
+    # the rollup grand-total row is identified by grouping()==1, NOT by
+    # group_col IS NULL: a corpus with NULL hosts (host_of(url) is NULL
+    # when url is NULL) emits a *detail* group whose key is also NULL, and
+    # keying on NULL would blend its fields with the grand total's
+    g_total = F.col("_gt") == 1
     prev_bad = None
     n_hosts = None  # host cardinality is loop-invariant: read it once
     pending_free: list[DataFrame] = []
-    for _ in range(num_iterations):
+    for _it in range(num_iterations):
         # per-host stats AND the global background (the rollup grand-total
         # row) — the reference's global->outer hierarchy
         # (src/util.cpp:232-295) in a single shuffle
         stats = (
             slim.rollup(group_col)
             .agg(
+                F.grouping(group_col).alias("_gt"),
                 F.percentile(F.when(good_cond, F.col(ppl_col)), F.lit(0.5)).alias(
                     "_h_mu"
                 ),
@@ -181,11 +186,13 @@ def perplexity_outlier_check(
             .localCheckpoint(eager=False)  # stays distributed: host count
         )                                  # is unbounded at web scale
         meta = stats.agg(
-            F.max(F.when(g_null, F.col("_h_mu"))).alias("g_mu"),
-            F.max(F.when(g_null, F.col("_h_iqr"))).alias("g_iqr"),
-            F.max(F.when(g_null, F.col("_h_n"))).alias("g_n"),
-            F.max(F.when(g_null, F.col("_n_bad"))).alias("n_bad"),
-            F.count(F.when(~g_null, F.lit(1))).alias("n_hosts"),
+            F.max(F.when(g_total, F.col("_h_mu"))).alias("g_mu"),
+            F.max(F.when(g_total, F.col("_h_iqr"))).alias("g_iqr"),
+            F.max(F.when(g_total, F.col("_h_n"))).alias("g_n"),
+            F.max(F.when(g_total, F.col("_n_bad"))).alias("n_bad"),
+            F.count(
+                F.when(~g_total & F.col(group_col).isNotNull(), F.lit(1))
+            ).alias("n_hosts"),
         ).first()
         # the meta job materialized this round's stats and (transitively)
         # the previous round's verdict frame — their ancestors are dead now
@@ -198,7 +205,11 @@ def perplexity_outlier_check(
             break  # last verdict changed nothing: fixpoint
         prev_bad = meta["n_bad"]
         g_mu, g_iqr, g_n = meta["g_mu"], meta["g_iqr"], meta["g_n"]
-        host_stats = stats.where(F.col(group_col).isNotNull())
+        # detail rows only (NULL-host docs fall back to the global
+        # background: a NULL equi-join key never matches)
+        host_stats = stats.where(
+            (F.col("_gt") == 0) & F.col(group_col).isNotNull()
+        ).drop("_gt")
 
         # checkpointed frames carry no size stats, so AQE can't see that
         # host_stats is tiny — hint broadcast explicitly while the host
@@ -226,10 +237,20 @@ def perplexity_outlier_check(
         new_slim = apply_check_flags(
             joined, F.when(verdict, BAD).otherwise(GOOD), flag_col
         ).drop("_h_mu", "_h_iqr", "_h_n", "_n_bad")
-        new_slim = new_slim.localCheckpoint(eager=False)
-        # slim/stats still back the lazy new_slim: free them only after
-        # the next pass (or the delta join) materializes it
-        pending_free = [slim, stats]
+        last = _it == num_iterations - 1
+        new_slim = new_slim.localCheckpoint(eager=last)
+        if last:
+            # no later meta job will materialize this checkpoint: do it
+            # eagerly so the parents can be freed NOW — otherwise the
+            # final round's blocks (plus the dead stats frame) persist
+            # for the life of the JVM on every exhausted-loop call
+            for fr in (slim, stats):
+                fr.unpersist()
+            pending_free = []
+        else:
+            # slim/stats still back the lazy new_slim: free them only
+            # after the next pass's meta job materializes it
+            pending_free = [slim, stats]
         slim = new_slim
 
     # join back only the DELTA — rows the loop newly flagged. Outliers are
