@@ -57,19 +57,26 @@ from titanlib_spark.webtext.scrub import scrub_text
 DEFAULT_SF = "/root/testdata/sf0.001"
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool | None = None
+) -> DataFrame:
     """Table loader. Small-sf parquet ships as one file -> ONE scan
     partition, which serializes every per-row expression onto a single
     core — ruinous for `documents`, whose queries run interpreted-HOF
     text expressions per row (quality-feature stage 1.35s -> 0.74s
-    spread, same-window A/B). Only documents is spread: the other
-    tables' queries shuffle immediately (aggs/joins) or fan out through
-    multi-branch plans where an extra Exchange per branch costs more
-    than the map side saves (embeddings A/B: near-dups 1.7s raw vs
-    2.5-3.0s spread). Production scans split on their own; see
-    titanlib_spark.session.spread_small_input."""
+    spread, same-window A/B). Only documents is spread by default: the
+    other tables' queries shuffle immediately (aggs/joins) or fan out
+    through multi-branch plans where an extra Exchange per branch costs
+    more than the map side saves (embeddings A/B: near-dups 1.7s raw vs
+    2.5-3.0s spread). `spread` overrides per query: pass False for
+    documents queries whose FIRST operation is itself a shuffle with only
+    trivial map-side work (dup_exact's md5+window: the spread exchange is
+    pure overhead, 0.26s -> 0.62s measured r02->r04). Production scans
+    split on their own; see titanlib_spark.session.spread_small_input."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "documents":
+    if spread is None:
+        spread = name == "documents"
+    if spread:
         from titanlib_spark.session import spread_small_input
 
         df = spread_small_input(df)
@@ -357,7 +364,11 @@ def q_external_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").withColumn("_h", F.md5(F.col("text")))
+    # spread=False: md5 is trivial map-side work and the window shuffles
+    # immediately — the spread exchange alone regressed this 2.3x (r04)
+    d = _t(spark, sf_dir, "documents", spread=False).withColumn(
+        "_h", F.md5(F.col("text"))
+    )
     out = duplicate_check_exact(d, key_cols=["_h"], order_cols=["doc_id"])
     return out.select("doc_id", F.col("flags").alias("qc_flag"))
 

@@ -477,9 +477,13 @@ def ngram_jaccard_pairs_lsh(
         grams, "_g", num_hashes, id_col=id_col, hash_fn=hash_fn,
         gram_fn=lambda t: F.col("_g"), signatures_only=True,
     )
+    # materialize the bounded candidate list ONCE: it fans out to TWO join
+    # branches below (pair rows + distinct id_b), and an unmaterialized
+    # cands would re-run the whole minhash signature stage per branch
+    # (measured 4.6s -> 26s at sf0.1)
     cands = minhash_lsh_candidates(
         sigs, id_col, "minhash", bands, max_bucket, hash_fn=hash_fn
-    )
+    ).localCheckpoint(eager=True)
     maybe_bc = F.broadcast if broadcast_candidates else (lambda d: d)
     # only the SLIM cands frame is ever broadcast: each side's gram array
     # is attached independently (grams streams against the broadcast), and
@@ -503,6 +507,7 @@ def ngram_jaccard_pairs_lsh(
         .localCheckpoint(eager=True)
     )
     grams.unpersist()
+    cands.unpersist()
     return pairs
 
 
