@@ -26,7 +26,7 @@ from titanlib_spark.webtext.pipeline import QualityFilterConfig, run_quality_pip
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 QC_DOCS = int(os.environ.get("SPARK_GRAFT_QC_DOCS", "20000"))
-QC_TRIALS = int(os.environ.get("SPARK_GRAFT_QC_TRIALS", "3"))
+QC_TRIALS = int(os.environ.get("SPARK_GRAFT_QC_TRIALS", "4"))
 
 # headline subset: scans/aggs/joins + one member of each QC family +
 # webtext/text-ops (minhash/sct excluded here: benchmarked via tests;
@@ -142,11 +142,19 @@ def main() -> None:
         # (~60s for the 64-min-aggregate minhash stage) that a long-lived
         # cluster amortizes away
         for name in HEADLINE:
-            best = float("inf")
-            for _ in range(2):
-                dt = _scoped(lambda: materialize(qs[name](spark, SF_DIR)))
-                best = min(best, dt)
-            times[name] = round(best, 3)
+            trials_q = [
+                _scoped(lambda: materialize(qs[name](spark, SF_DIR)))
+                for _ in range(2)
+            ]
+            # adaptive third trial: when the two disagree by >30% the
+            # window was dirty (transient in-VM contention that registers
+            # nowhere in /proc/stat — CLAUDE.md rule 13); one more sample
+            # makes a clean window likely without tripling the whole run
+            if max(trials_q) > 1.3 * min(trials_q):
+                trials_q.append(
+                    _scoped(lambda: materialize(qs[name](spark, SF_DIR)))
+                )
+            times[name] = round(min(trials_q), 3)
         # settle barrier: the 16 queries leave dead broadcast variables
         # (ContextCleaner reclaims them only after a driver GC) and a
         # full allocation debt in the pinned 48g heap — without this the
@@ -200,6 +208,13 @@ def main() -> None:
         # cache): dead blocks squeeze execution memory and poison the
         # second trial (CLAUDE.md rule 17)
         before = set(_persistent_rdds(spark.sparkContext))
+        if os.environ.get("SPARK_GRAFT_QC_DEBUG") == "1":
+            infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            print(
+                f"QCDBG pre-trial storage: {len(infos)} rdds "
+                f"{sum(i.memSize() for i in infos)/1e6:.1f} MB",
+                file=sys.stderr,
+            )
         t0 = time.time()
         result = run_quality_pipeline(pages, QualityFilterConfig())
         materialize(result.select("url", "flags", "keep", "reasons", "scrubbed_text"))

@@ -98,8 +98,8 @@ def perplexity(text_col: str | Column = "text",
     return _ppl_udf(t, lg)
 
 
-def perplexity_outlier_check(
-    df: DataFrame,
+def outlier_fixpoint(
+    slim: DataFrame,
     group_col: str = "host",
     threshold: float = 6.0,
     num_min: int = 10,
@@ -107,43 +107,45 @@ def perplexity_outlier_check(
     ppl_col: str = "ppl",
     flag_col: str = "flags",
     valid_max: float | None = None,
-    id_col: str = "url",
-) -> DataFrame:
-    """Flag docs whose perplexity is a robust-z outlier vs their host peers
-    (global-background fallback for thin hosts). `ppl_col` must already be
-    attached (see :func:`perplexity`); null ppl rows are not candidates
-    (they are handled by metadata/range stages).
+    delta_col: Column | None = None,
+) -> tuple[DataFrame, int | None]:
+    """Run the robust-z outlier fixpoint loop over a prepared slim frame.
 
-    `valid_max` is the reference's *valid value band* (fgt/sct_resistant
-    value_minv/maxv, reference src/fgt.cpp:875-889: a score inside the
-    valid band vouches for the row — it is never a rejection candidate,
-    however extreme its z against an unusually tight neighborhood).
+    `slim` must carry (group_col, ppl_col, flag_col) plus a `_flag0`
+    snapshot of the pre-loop flag (the delta join-back key) — and may
+    carry any extra narrow columns (e.g. a row id, a dup verdict), which
+    ride through untouched. It should NOT be checkpointed yet: the loop
+    coalesces and lazily checkpoints it so materialization folds into the
+    first meta job.
 
-    The fixpoint loop runs over a slim (id, group, ppl, flag) projection —
-    materialized once — so per-iteration checkpoints never re-serialize
-    the wide page payload (html/text); the accumulated verdicts join back
-    onto the full frame exactly once at the end."""
-    df = ensure_flags(df, flag_col)
-    # materialize the slim working set ONCE: every iteration makes several
-    # passes (group stats, global stats, verdict join, fixpoint count) and
-    # must not re-run the upstream langid/feature UDF chain each time.
-    # Slim rows are ~5 narrow columns, so 1/8 of the parent's partitions
-    # keeps partition bytes comparable while cutting per-job task-launch
-    # overhead 8x for every loop pass (coalesce is narrow — no shuffle);
-    # the checkpoint is lazy so materialization folds into the first
-    # consuming job instead of costing its own.
-    n_parts = df.rdd.getNumPartitions()
-    slim = (
-        df.select(
-            F.col(id_col).alias("_pid"),
-            F.col(group_col),
-            F.col(ppl_col),
-            F.col(flag_col),
-            F.col(flag_col).alias("_flag0"),  # pre-loop flag -> the delta
-        )
-        .coalesce(max(8, n_parts // 8))
-        .localCheckpoint(eager=False)
-    )
+    `delta_col` (a boolean Column over slim's columns) widens the
+    join-back delta definition beyond `flag != _flag0`; its row count is
+    carried through the rollup FOR FREE, so the caller's broadcast-vs-
+    shuffle decision needs no separate count job. Returns
+    (final_slim, n_delta) — n_delta is None only when the loop exhausted
+    `num_iterations` without reaching the fixpoint (the last verdict was
+    never rolled up; count the delta yourself on that rare path)."""
+    # slim rows are a handful of narrow columns: coalesce to a fraction of
+    # the core count so every loop pass launches few, non-trivial tasks
+    # (coalesce is narrow — no shuffle); the checkpoint is lazy so
+    # materialization folds into the first consuming job. The coalesce
+    # target is CORES-proportional, not input-proportional (slim bytes/row
+    # ~50, so even a 10^10-doc corpus fits executor memory at cores/4
+    # partitions on a real cluster); reading slim.rdd.getNumPartitions()
+    # instead would force a full analyze+optimize+physical-plan pass
+    # driver-side (rule-26 driver-latency class, visible in cProfile).
+    #
+    # localCheckpoint, NOT persist: persist was A/B'd (r05) and LOST in
+    # honest scoped-cleanup measurement (qc 4.5-5.5s vs 2.9-3.3s) — each
+    # persist() pays CacheManager canonicalization of the big UDF plan
+    # and the cache write pays columnar encode of every batch, while
+    # unscoped-warm-up runs that made persist LOOK 1.7s-fast were silently
+    # reusing the warm run's still-registered caches across trials.
+    cores = slim.sparkSession.sparkContext.defaultParallelism
+    is_delta = F.col(flag_col) != F.col("_flag0")
+    if delta_col is not None:
+        is_delta = is_delta | delta_col
+    slim = slim.coalesce(max(8, cores // 4)).localCheckpoint(eager=False)
     num_iterations = int(num_iterations)
 
     # ONE driver job per iteration: the per-host rollup runs over the FULL
@@ -164,6 +166,7 @@ def perplexity_outlier_check(
     g_total = F.col("_gt") == 1
     prev_bad = None
     n_hosts = None  # host cardinality is loop-invariant: read it once
+    n_delta: int | None = None
     pending_free: list[DataFrame] = []
     for _it in range(num_iterations):
         # per-host stats AND the global background (the rollup grand-total
@@ -182,6 +185,7 @@ def perplexity_outlier_check(
                 ).alias("_h_iqr"),
                 F.count(F.when(good_cond, F.lit(1))).alias("_h_n"),
                 F.sum((F.col(flag_col) != GOOD).cast("long")).alias("_n_bad"),
+                F.sum(is_delta.cast("long")).alias("_n_del"),
             )
             .localCheckpoint(eager=False)  # stays distributed: host count
         )                                  # is unbounded at web scale
@@ -190,10 +194,12 @@ def perplexity_outlier_check(
             F.max(F.when(g_total, F.col("_h_iqr"))).alias("g_iqr"),
             F.max(F.when(g_total, F.col("_h_n"))).alias("g_n"),
             F.max(F.when(g_total, F.col("_n_bad"))).alias("n_bad"),
+            F.max(F.when(g_total, F.col("_n_del"))).alias("n_del"),
             F.count(
                 F.when(~g_total & F.col(group_col).isNotNull(), F.lit(1))
             ).alias("n_hosts"),
         ).first()
+        n_delta = meta["n_del"]
         # the meta job materialized this round's stats and (transitively)
         # the previous round's verdict frame — their ancestors are dead now
         for fr in pending_free:
@@ -236,7 +242,8 @@ def perplexity_outlier_check(
             verdict = verdict & (F.col(ppl_col) > float(valid_max))
         new_slim = apply_check_flags(
             joined, F.when(verdict, BAD).otherwise(GOOD), flag_col
-        ).drop("_h_mu", "_h_iqr", "_h_n", "_n_bad")
+        ).drop("_h_mu", "_h_iqr", "_h_n", "_n_bad", "_n_del")
+        n_delta = None  # stale until the next meta job rolls the verdict up
         last = _it == num_iterations - 1
         new_slim = new_slim.localCheckpoint(eager=last)
         if last:
@@ -253,6 +260,53 @@ def perplexity_outlier_check(
             pending_free = [slim, stats]
         slim = new_slim
 
+    return slim, n_delta
+
+
+def perplexity_outlier_check(
+    df: DataFrame,
+    group_col: str = "host",
+    threshold: float = 6.0,
+    num_min: int = 10,
+    num_iterations: int = 5,
+    ppl_col: str = "ppl",
+    flag_col: str = "flags",
+    valid_max: float | None = None,
+    id_col: str = "url",
+) -> DataFrame:
+    """Flag docs whose perplexity is a robust-z outlier vs their host peers
+    (global-background fallback for thin hosts). `ppl_col` must already be
+    attached (see :func:`perplexity`); null ppl rows are not candidates
+    (they are handled by metadata/range stages).
+
+    `valid_max` is the reference's *valid value band* (fgt/sct_resistant
+    value_minv/maxv, reference src/fgt.cpp:875-889: a score inside the
+    valid band vouches for the row — it is never a rejection candidate,
+    however extreme its z against an unusually tight neighborhood).
+
+    The fixpoint loop (see :func:`outlier_fixpoint`) runs over a slim
+    (id, group, ppl, flag) projection — materialized once — so
+    per-iteration checkpoints never re-serialize the wide page payload
+    (html/text); the accumulated verdicts join back onto the full frame
+    exactly once at the end."""
+    df = ensure_flags(df, flag_col)
+    slim = df.select(
+        F.col(id_col).alias("_pid"),
+        F.col(group_col),
+        F.col(ppl_col),
+        F.col(flag_col),
+        F.col(flag_col).alias("_flag0"),  # pre-loop flag -> the delta
+    )
+    slim, _ = outlier_fixpoint(
+        slim,
+        group_col=group_col,
+        threshold=threshold,
+        num_min=num_min,
+        num_iterations=num_iterations,
+        ppl_col=ppl_col,
+        flag_col=flag_col,
+        valid_max=valid_max,
+    )
     # join back only the DELTA — rows the loop newly flagged. Outliers are
     # rare by construction, so this side broadcasts at any corpus size and
     # the wide frame never reshuffles (a full verdict join would move the
