@@ -541,3 +541,116 @@ def test_winnowing_selection_density(spark):
     n_sel = winnowed_fingerprints(d, w=8, k=4).count()
     frac = n_sel / n_pos
     assert 0.25 < frac < 0.55, frac        # 2/(k+1) = 0.4 expected
+
+
+def _png_encode(pix: np.ndarray, ctype: int, filters: list[int],
+                palette: np.ndarray | None = None) -> bytes:
+    """Minimal spec-faithful PNG writer for tests: 8-bit depth, chosen
+    color type, a caller-chosen filter per scanline (encoded per the PNG
+    spec so decode must invert it exactly)."""
+    import struct, zlib
+
+    h, w = pix.shape[:2]
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    flat = pix.reshape(h, w * ch).astype(np.int64)
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        ft = filters[y % len(filters)]
+        cur = flat[y]
+        left = np.concatenate([np.zeros(ch, dtype=np.int64), cur[:-ch]])
+        upleft = np.concatenate([np.zeros(ch, dtype=np.int64), prev[:-ch]])
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            enc = (cur - left) % 256
+        elif ft == 2:
+            enc = (cur - prev) % 256
+        elif ft == 3:
+            enc = (cur - (left + prev) // 2) % 256
+        else:  # paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            enc = (cur - pred) % 256
+        raw.append(ft)
+        raw += enc.astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + cid + body
+                + struct.pack(">I", zlib.crc32(cid + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + chunk(b"IEND", b"")
+
+
+def test_png_decoder_all_filters_and_color_types(spark):
+    """The PNG decoder inverts every scanline filter and handles all five
+    8-bit color types; invalid/unsupported payloads return None."""
+    from titanlib_spark.textops.multimodal import decode_png, image_features
+
+    rng = np.random.default_rng(11)
+    h, w = 7, 5
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+    # every filter type exercised (one per row, cycling 0..4)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        out = decode_png(_png_encode(rgb, 2, filters))
+        assert out is not None and np.array_equal(out, rgb), filters
+
+    # grayscale -> broadcast to RGB
+    gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    out = decode_png(_png_encode(gray, 0, [4]))
+    assert np.array_equal(out, np.repeat(gray[:, :, None], 3, axis=2))
+
+    # RGBA -> alpha dropped
+    rgba = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    out = decode_png(_png_encode(rgba, 6, [1, 2]))
+    assert np.array_equal(out, rgba[:, :, :3])
+
+    # gray+alpha -> gray broadcast
+    ga = rng.integers(0, 256, (h, w, 2), dtype=np.uint8)
+    out = decode_png(_png_encode(ga, 4, [3]))
+    assert np.array_equal(out, np.repeat(ga[:, :, :1], 3, axis=2))
+
+    # palette
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (h, w), dtype=np.uint8)
+    out = decode_png(_png_encode(idx, 3, [0, 2], palette=pal))
+    assert np.array_equal(out, pal[idx])
+
+    # malformed / unsupported -> None, never a wrong decode
+    good = _png_encode(rgb, 2, [4])
+    assert decode_png(good[: len(good) // 2]) is None          # truncated
+    assert decode_png(b"\x89PNG\r\n\x1a\nJUNK") is None        # no chunks
+    bad_sig = b"\x88" + good[1:]
+    assert decode_png(bad_sig) is None
+    interlaced = bytearray(good)
+    interlaced[8 + 8 + 12] = 1  # IHDR interlace byte
+    assert decode_png(bytes(interlaced)) is None
+    deep = bytearray(good)
+    deep[8 + 8 + 8] = 16  # IHDR bit depth 16
+    assert decode_png(bytes(deep)) is None
+    corrupt = bytearray(good)
+    # corrupt the zlib stream inside IDAT (after sig+IHDR chunk+len+type)
+    corrupt[8 + 25 + 8 + 2] ^= 0xFF
+    assert decode_png(bytes(corrupt)) is None
+
+    # end-to-end: PNG payload rides image_features with decode_ok=true
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(_png_encode(rgb, 2, [0, 1, 2, 3, 4])), w, h,
+          None, None)],
+        "media_id long, media_type string, payload binary, width int, "
+        "height int, duration_s double, sample_rate int",
+    )
+    row = image_features(df, out_dim=3).collect()[0]
+    assert row.decode_ok is True
+    bands = np.array_split(rgb, 3, axis=0)
+    expected = [float(b.mean(dtype=np.float64)) / 255.0 for b in bands]
+    assert np.allclose(row.feature, np.array(expected, dtype=np.float32))

@@ -1,8 +1,9 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
-Uncompressed containers decode for REAL with pure numpy — binary PPM (P6)
-and 24-bit BI_RGB BMP images, PCM-16 WAV audio — no codec library needed.
-Compressed formats (JPEG/PNG/MP3) still need PIL/torchaudio, so unknown
+Real pure-python decoders, no codec library needed: binary PPM (P6) and
+24-bit BI_RGB BMP images, non-interlaced 8-bit PNG (stdlib zlib inflate +
+numpy scanline unfilter, all five color types), PCM-16 WAV audio.
+Remaining compressed formats (JPEG/MP3) need PIL/torchaudio, so unknown
 payloads HARD-ERROR by default (`on_undecodable="error"`); callers opt
 into NULL features + a decode_ok=false flag ("null") or, for synthetic
 fixtures/oracles only, a clearly-marked deterministic fake ("fake").
@@ -117,6 +118,114 @@ def decode_bmp(payload: bytes) -> np.ndarray | None:
     return (img[::-1] if flip else img).copy()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray | None:
+    """Undo PNG per-scanline filters (0 none / 1 sub / 2 up / 3 average /
+    4 paeth). `raw` is h rows of (1 filter byte + stride data bytes).
+    Up is vectorized across the row; Sub/Average/Paeth carry a per-pixel
+    recurrence, so those rows run a byte loop — exact, and cheap at the
+    thumbnail sizes a QC pipeline decodes (a production deployment slots
+    a codec library in above this fallback)."""
+    rows = raw.reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint16)  # u16: sums before & 0xFF
+    prev = np.zeros(stride, dtype=np.uint16)
+    for y in range(h):
+        ftype = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.uint16)
+        if ftype == 0:
+            line = cur
+        elif ftype == 2:  # up
+            line = (cur + prev) & 0xFF
+        elif ftype in (1, 3, 4):
+            line = cur.copy()
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0  # left
+                b = prev[x]  # up
+                if ftype == 1:
+                    line[x] = (line[x] + a) & 0xFF
+                elif ftype == 3:
+                    line[x] = (line[x] + ((int(a) + int(b)) >> 1)) & 0xFF
+                else:  # paeth
+                    c = prev[x - bpp] if x >= bpp else 0  # up-left
+                    p = int(a) + int(b) - int(c)
+                    pa, pb, pc = abs(p - int(a)), abs(p - int(b)), abs(p - int(c))
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    line[x] = (line[x] + pred) & 0xFF
+        else:
+            return None  # invalid filter type: fail the whole decode
+        out[y] = line
+        prev = line
+    return out.astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> np.ndarray | None:
+    """Real decoder for non-interlaced 8-bit-depth PNG (gray, gray+alpha,
+    RGB, RGBA, and palette color types): stdlib zlib inflate + numpy
+    per-scanline unfilter — no codec library. Returns (h, w, 3) uint8 RGB
+    (alpha dropped, gray broadcast, palette looked up) or None if the
+    payload is not such a PNG (bad signature/CRC-length structure,
+    interlaced, 16-bit, truncated or corrupt raster)."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        return None
+    pos = len(_PNG_SIG)
+    w = h = None
+    depth = ctype = interlace = None
+    idat = bytearray()
+    palette = None
+    while pos + 8 <= len(payload):
+        clen = int.from_bytes(payload[pos : pos + 4], "big")
+        cid = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            return None  # truncated chunk
+        if cid == b"IHDR":
+            if clen != 13:
+                return None
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, ctype = body[8], body[9]
+            interlace = body[12]
+        elif cid == b"PLTE":
+            if clen % 3:
+                return None
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif cid == b"IDAT":
+            idat += body
+        elif cid == b"IEND":
+            break
+        pos += 12 + clen  # len + type + data + crc
+    if not w or not h or depth != 8 or interlace != 0 or not idat:
+        return None
+    if ctype not in _PNG_CHANNELS or (ctype == 3 and palette is None):
+        return None
+    ch = _PNG_CHANNELS[ctype]
+    stride = w * ch
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    if len(raw) != h * (1 + stride):
+        return None
+    img = _png_unfilter(np.frombuffer(raw, dtype=np.uint8), h, stride, ch)
+    if img is None:
+        return None
+    img = img.reshape(h, w, ch)
+    if ctype == 0:  # gray
+        return np.repeat(img, 3, axis=2).copy()
+    if ctype == 2:  # rgb
+        return img.copy()
+    if ctype == 3:  # palette
+        return palette[img[:, :, 0]].copy()
+    if ctype == 4:  # gray + alpha
+        return np.repeat(img[:, :, :1], 3, axis=2).copy()
+    return img[:, :, :3].copy()  # rgba -> rgb
+
+
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray] | None:
     """Real decoder for PCM WAV (16-bit LE, any channel count): RIFF chunk
     walk, pure numpy. Returns (sample_rate, samples[int16, frames x ch])
@@ -148,8 +257,9 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray] | None:
 def _decode_image_kernel(
     payload: bytes, width: int, height: int, on_undecodable: str = "error"
 ) -> tuple[np.ndarray | None, bool]:
-    """Image decode: REAL pure-numpy decoders for uncompressed containers
-    (binary PPM/P6 and 24-bit BI_RGB BMP — no codec library needed).
+    """Image decode: REAL pure-numpy decoders — binary PPM/P6 and 24-bit
+    BI_RGB BMP (uncompressed containers) plus non-interlaced 8-bit PNG
+    (zlib inflate + scanline unfilter; gray/GA/RGB/RGBA/palette).
     Returns (pixels, decode_ok). Payloads no real decoder claims follow
     ``on_undecodable``: "error" raises (default — a codec gap must fail
     loud), "null" returns (None, False), "fake" returns the deterministic
@@ -157,18 +267,20 @@ def _decode_image_kernel(
     the fake derives from payload length and dimensions so the whole
     decode->pool path keeps an exact SQL twin: the `multimodal_features`
     DuckDB oracle replays pixel = (seed + 31r + 7c + 13ch) mod 256 and
-    the band means). Compressed formats (JPEG/PNG) would slot in here via
-    PIL and return decode_ok=True."""
+    the band means). Remaining compressed formats (JPEG/MP3) would slot
+    in here via PIL/torchaudio and return decode_ok=True."""
     img = decode_ppm(payload)
     if img is None:
         img = decode_bmp(payload)
+    if img is None:
+        img = decode_png(payload)
     if img is not None:
         return img, True
     if on_undecodable == "error":
         raise NotImplementedError(
-            "undecodable image payload (compressed container? install PIL "
-            "here); pass on_undecodable='null' to emit NULL features with "
-            "decode_ok=false instead"
+            "undecodable image payload (JPEG or other compressed container? "
+            "install PIL here); pass on_undecodable='null' to emit NULL "
+            "features with decode_ok=false instead"
         )
     if on_undecodable == "null":
         return None, False
