@@ -341,6 +341,82 @@ def q_background_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_background_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen background (reference src/background.cpp:175-228) with an
+    exact DuckDB twin. Oracle-parity construction: non-flat group sizes
+    are 7 or 3 (both the pairwise-slope count 21/3 and the residual count
+    are ODD, so every median is an exact element pick — no interpolation
+    branch, rule 25; the flat group takes the mean before any median
+    regardless of its size); elevations are integers with >=30x margin vs
+    min_elev_diff so the use_basic gate can never flip on a ulp; the flat
+    group's values are all equal so its mean is order-independent.
+    Branches covered: flat-elev -> mean; small group (n=3 < num_min_prof)
+    -> fixed slope -0.0065; full Theil-Sen median-of-pairwise-slopes."""
+    c = _t(spark, sf_dir, "customer").where(
+        (F.col("c_custkey") <= 140)
+        # shrink group 1 to n=3: the use_basic (n < num_min_prof) branch
+        & ~((F.col("c_custkey") % 20 == 1) & (F.col("c_custkey") > 60))
+    )
+    grp = F.col("c_custkey") % 20
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        grp.alias("grp"),
+        F.when(grp == 0, F.lit(100.0))
+        .otherwise((F.col("c_custkey") % 500).cast("double"))
+        .alias("elev"),
+        F.when(grp == 0, F.lit(42.5))
+        .otherwise(F.col("c_acctbal") / F.lit(100.0))
+        .alias("value"),
+    )
+    out = background(
+        pts, "theil_sen", ["grp"], value_col="value", elev_col="elev",
+        num_min_prof=5, min_elev_diff=3.0,
+    )
+    return out.select("id", "bg")
+
+
+def q_background_vp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertical-profile background (reference src/background.cpp:59-173)
+    over 2-point groups chosen so every branch has a CLOSED FORM the SQL
+    twin replays exactly (the SCT-oracle trick):
+
+    * elevations are +/-h (sum exactly 0) and values sit exactly on the
+      line v = 50 - 0.0065*z, so the Nelder-Mead start (mean_t, -0.0065)
+      is already the global optimum: its rms is ~1e-15 < the 1e-6
+      objective floor, while every other simplex vertex the search can
+      visit before the 1e-2 size stop keeps rms >= ~4e-3 — the best
+      vertex never moves, and the fit returns mean_t - 0.0065*z exactly;
+    * 2-point means are a single IEEE addition (commutative), so
+      (v1+v2)/2 is bit-identical across engines regardless of row order;
+    * flat groups (equal elevs) return the mean; small-spread groups
+      (z95-z05 < min_elev_diff, margin >= 2x) return the constant
+      basic profile (gamma = 0) = mean_t."""
+    c = _t(spark, sf_dir, "customer").where(
+        # custkey 0 exists in the testdata; start at 1 so every group
+        # has exactly its two designed members (and Spark cast-trunc
+        # vs DuckDB floor division never sees a negative numerator)
+        (F.col("c_custkey") >= 1) & (F.col("c_custkey") <= 80)
+    )
+    grp = ((F.col("c_custkey") - 1) / 2).cast("long")
+    sign = F.when(F.col("c_custkey") % 2 == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+    elev = (
+        F.when(grp % 4 == 3, F.lit(150.0))  # flat: mean branch
+        .when(grp % 4 == 2, sign * F.lit(20.0))  # spread 36 < 100: basic
+        .otherwise(sign * (F.lit(150.0) + grp.cast("double")))  # NM branch
+    )
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        grp.alias("grp"),
+        elev.alias("elev"),
+        (F.lit(50.0) - F.lit(0.0065) * elev).alias("value"),
+    )
+    out = background(
+        pts, "vertical_profile", ["grp"], value_col="value", elev_col="elev",
+        num_min_prof=5, min_elev_diff=100.0,
+    )
+    return out.select("id", "bg")
+
+
 def q_dem_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     df = s.select(
@@ -1329,6 +1405,80 @@ SELECT c_nationkey,
        round(quantile_cont(value, 0.5), 6) AS bg_median,
        count(*) AS n_obs
 FROM geo GROUP BY c_nationkey
+"""
+
+    # Theil-Sen background: group sizes 7 / 3 keep every median an exact
+    # element pick (odd pairwise-slope and residual counts); flat group
+    # short-circuits to its (all-equal) mean; the n=3 group takes the
+    # use_basic fixed slope -0.0065. Spread gates have >=30x margin by
+    # construction, so the SQL twin encodes the branch per group directly.
+    sql["background_theil_sen"] = """
+WITH pts AS (
+  SELECT c_custkey AS id,
+         c_custkey % 20 AS grp,
+         CASE WHEN c_custkey % 20 = 0 THEN 100.0
+              ELSE CAST(c_custkey % 500 AS DOUBLE) END AS elev,
+         CASE WHEN c_custkey % 20 = 0 THEN 42.5
+              ELSE c_acctbal / 100.0 END AS value
+  FROM customer
+  WHERE c_custkey <= 140 AND NOT (c_custkey % 20 = 1 AND c_custkey > 60)
+),
+gate AS (
+  SELECT grp, count(*) AS n, min(elev) AS emin, max(elev) AS emax,
+         avg(value) AS vmean
+  FROM pts GROUP BY grp
+),
+slopes AS (
+  SELECT a.grp,
+         CASE WHEN abs(a.elev - b.elev) < 1 THEN 0.0
+              ELSE (a.value - b.value) / (a.elev - b.elev) END AS slope
+  FROM pts a JOIN pts b ON a.grp = b.grp AND a.id < b.id
+),
+m AS (
+  SELECT g.grp, g.emin, g.emax, g.vmean,
+         CASE WHEN g.n < 5 THEN -0.0065 ELSE s.med END AS m_med
+  FROM gate g LEFT JOIN (
+    SELECT grp, quantile_cont(slope, 0.5) AS med FROM slopes GROUP BY grp
+  ) s USING (grp)
+),
+q AS (
+  SELECT p.grp, m.m_med, m.emin, m.emax, m.vmean,
+         quantile_cont(p.value - m.m_med * p.elev, 0.5) AS q_med
+  FROM pts p JOIN m USING (grp)
+  GROUP BY p.grp, m.m_med, m.emin, m.emax, m.vmean
+)
+SELECT p.id,
+       CASE WHEN q.emin = q.emax THEN q.vmean
+            ELSE q.q_med + q.m_med * p.elev END AS bg
+FROM pts p JOIN q USING (grp)
+ORDER BY id
+"""
+
+    # vertical-profile background: 2-point closed-form groups (see
+    # q_background_vp) — the Nelder-Mead optimum IS the start point, so
+    # the fitted profile is exactly mean_t - 0.0065*z; 2-point means are
+    # one commutative IEEE add, bit-identical across engines.
+    sql["background_vp"] = """
+WITH base AS (
+  SELECT c_custkey AS id,
+         (c_custkey - 1) // 2 AS grp,
+         CASE WHEN c_custkey % 2 = 1 THEN 1.0 ELSE -1.0 END AS sgn
+  FROM customer WHERE c_custkey >= 1 AND c_custkey <= 80
+),
+pts AS (
+  SELECT id, grp,
+         CASE WHEN grp % 4 = 3 THEN 150.0
+              WHEN grp % 4 = 2 THEN sgn * 20.0
+              ELSE sgn * (150.0 + CAST(grp AS DOUBLE)) END AS elev
+  FROM base
+),
+pv AS (SELECT id, grp, elev, 50.0 - 0.0065 * elev AS value FROM pts),
+g AS (SELECT grp, avg(value) AS mu FROM pv GROUP BY grp)
+SELECT p.id,
+       CASE WHEN p.grp % 4 IN (3, 2) THEN g.mu
+            ELSE g.mu - 0.0065 * p.elev END AS bg
+FROM pv p JOIN g USING (grp)
+ORDER BY id
 """
 
     knn_pairs_sql = _pairs_sql(5000.0)
@@ -2555,6 +2705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buddy_event_check": q_buddy_event_check,
         "fgt": q_fgt,
         "background_by_nation": q_background_by_nation,
+        "background_theil_sen": q_background_theil_sen,
+        "background_vp": q_background_vp,
         "dem_check": q_dem_check,
         "external_check": q_external_check,
         "dup_exact": q_dup_exact,
