@@ -978,6 +978,30 @@ def q_knn_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_always_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-NN per customer with ALWAYS-K semantics (reference R-tree kNN,
+    src/kdtree.cpp:105-126): the 1.5 km base radius leaves most grid
+    points with < 10 in-radius neighbors, so the radius-escalation
+    fallback (knn_pairs_always_k) genuinely exercises 1-2 doubling
+    rounds. The DuckDB twin is the UNBOUNDED pairwise kNN — exactly the
+    semantics escalation must converge to. Metre-rounded rank ordering
+    per rule 10."""
+    from titanlib_spark.functions.geo import knn_pairs_always_k
+
+    geo = _customer_geo(spark, sf_dir)
+    top = knn_pairs_always_k(
+        geo, 10, 1500.0, payload_cols=("value",), rank_round=0
+    )
+    return (
+        top.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.round(F.avg("n_value"), 6).alias("avg_neighbor_value"),
+        )
+        .select(F.col("id").alias("c_custkey"), "n_neighbors", "avg_neighbor_value")
+    )
+
+
 def q_dup_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-parity greedy spatial dedup (first-wins in id order,
     src/duplicate_check.cpp:24-49); the DuckDB oracle replays the exact
@@ -1479,6 +1503,29 @@ SELECT p.id,
             ELSE g.mu - 0.0065 * p.elev END AS bg
 FROM pv p JOIN g USING (grp)
 ORDER BY id
+"""
+
+    # always-k kNN: the oracle is the UNBOUNDED pairwise ranking — the
+    # semantics the radius-escalation loop must converge to exactly
+    sql["knn_always_k"] = f"""
+WITH {_GEO_SQL},
+allp AS (
+  SELECT a.id, b.id AS nid, b.value AS n_value,
+         sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+              + (a.z-b.z)*(a.z-b.z)) AS dist
+  FROM pts a JOIN pts b ON a.id <> b.id
+),
+ranked AS (
+  SELECT id, n_value,
+         row_number() OVER (
+           PARTITION BY id ORDER BY round(dist, 0) ASC, nid ASC
+         ) AS rnk
+  FROM allp WHERE dist > 0
+)
+SELECT id AS c_custkey, count(*) AS n_neighbors,
+       round(avg(n_value), 6) AS avg_neighbor_value
+FROM ranked WHERE rnk <= 10
+GROUP BY id
 """
 
     knn_pairs_sql = _pairs_sql(5000.0)
@@ -2742,6 +2789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "interpolate_to_points": q_interpolate_to_points,
         "knn_avg": q_knn_avg,
+        "knn_always_k": q_knn_always_k,
     }
 
 

@@ -285,3 +285,33 @@ class TestFgtSpatial:
             basic=False,
         )
         assert [r.flags for r in out.orderBy("id").collect()] == [0] * 6
+
+
+def test_knn_always_k_radius_escalation(spark):
+    """A far-isolated point has ZERO in-radius neighbors at the base
+    radius; always-k escalation must still return exactly k for every
+    point, matching a brute-force unbounded kNN (reference
+    src/kdtree.cpp:105-126 always-k semantics)."""
+    import numpy as np
+
+    from titanlib_spark.functions.geo import knn_pairs_always_k
+
+    # cartesian mode: plain euclidean, easy to brute-force. 12 clustered
+    # points + one ~40 units away (needs 6 doublings of radius 1.0).
+    pts = [(i, float(i % 4), float(i // 4)) for i in range(12)]
+    pts.append((12, 40.0, 40.0))
+    df = spark.createDataFrame(pts, "id long, lon double, lat double")
+    out = knn_pairs_always_k(
+        df, 3, 1.0, coord_type="cartesian", max_doublings=8
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.id, []).append((r.dist, r.n_id))
+    xy = {i: np.array([x, y]) for i, x, y in pts}
+    assert set(got) == set(xy), "every point must appear"
+    for i, neigh in got.items():
+        assert len(neigh) == 3, f"point {i} got {len(neigh)} != k"
+        brute = sorted(
+            (float(np.hypot(*(xy[j] - xy[i]))), j) for j in xy if j != i
+        )[:3]
+        assert sorted(neigh) == [(pytest.approx(d), j) for d, j in brute]

@@ -346,6 +346,161 @@ def knn_pairs(
     return pairs.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _asym_radius_pairs(
+    queries: DataFrame,
+    corpus: DataFrame,
+    radius: float,
+    id_col: str,
+    payload_cols: tuple[str, ...],
+) -> DataFrame:
+    """Directed radius join: every (query, corpus) pair within `radius`.
+    Both inputs must already carry x/y/z (ECEF). The query side explodes
+    to its 27 adjacent cells and is expected to be SMALL (a deficit set) —
+    the caller broadcasts it so the corpus never shuffles. Coincident
+    points (dist == 0) are excluded, mirroring neighbor_pairs."""
+    offsets = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"), F.lit(dy).alias("dy"), F.lit(dz).alias("dz")
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            for dz in (-1, 0, 1)
+        ]
+    )
+    q = (
+        queries.select(
+            F.col(id_col),
+            F.col("x").alias("_qx"),
+            F.col("y").alias("_qy"),
+            F.col("z").alias("_qz"),
+            *_cell_cols(F.col("x"), F.col("y"), F.col("z"), radius),
+        )
+        .withColumn("_o", F.explode(offsets))
+        .select(
+            id_col, "_qx", "_qy", "_qz",
+            (F.col("_cx") + F.col("_o.dx")).alias("_cx"),
+            (F.col("_cy") + F.col("_o.dy")).alias("_cy"),
+            (F.col("_cz") + F.col("_o.dz")).alias("_cz"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias(f"n_{id_col}"),
+        F.col("x").alias("_bx"),
+        F.col("y").alias("_by"),
+        F.col("z").alias("_bz"),
+        *[F.col(p).alias(f"n_{p}") for p in payload_cols],
+        *_cell_cols(F.col("x"), F.col("y"), F.col("z"), radius),
+    )
+    joined = F.broadcast(q).join(c, on=["_cx", "_cy", "_cz"])
+    dsq = chord_dist_sq(
+        F.col("_qx"), F.col("_qy"), F.col("_qz"),
+        F.col("_bx"), F.col("_by"), F.col("_bz"),
+    )
+    return (
+        joined.where((dsq <= F.lit(radius * radius)) & (dsq > 0))
+        .select(
+            F.col(id_col),
+            F.col(f"n_{id_col}"),
+            F.sqrt(dsq).alias("dist"),
+            *[F.col(f"n_{p}") for p in payload_cols],
+        )
+    )
+
+
+def knn_pairs_always_k(
+    df: DataFrame,
+    k: int,
+    search_radius: float,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    payload_cols: tuple[str, ...] = (),
+    coord_type: str = "geodetic",
+    max_doublings: int = 12,
+    rank_round: int | None = None,
+) -> DataFrame:
+    """k nearest neighbors per point with the reference's ALWAYS-K
+    semantics (src/kdtree.cpp:105-126: the R-tree kNN returns k no matter
+    how sparse the neighborhood): start from the radius-bounded top-k,
+    then re-query only the DEFICIT points (fewer than k in-radius
+    neighbors) at doubled radius until every point has k or
+    `max_doublings` is exhausted — a driver loop over a shrinking
+    frontier (the SCT active-cell pattern). Once a point's ball holds
+    >= k candidates, its top-k within the ball IS its global top-k (the
+    k-th-nearest distance is <= the ball radius), so results match an
+    unbounded kNN exactly.
+
+    `rank_round` ranks on round(dist, n) (ties then break by neighbor
+    id) — cross-engine trig ulps can flip raw-distance ties on symmetric
+    layouts, so value-oracled queries rank on metre-rounded distance
+    (CLAUDE.md rule 10).
+
+    Scale shape: satisfied points never re-enter any join; each round is
+    one asymmetric cell join of the (small, broadcast) deficit set
+    against the corpus — the corpus is scanned per round but never
+    shuffled. 2^12 doublings cover a point-to-anywhere distance ratio of
+    4096x; points still deficient after that keep what they found."""
+    from pyspark.sql import Window
+
+    dist_key = (
+        F.round(F.col("dist"), rank_round) if rank_round is not None
+        else F.col("dist")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        dist_key.asc(), F.col(f"n_{id_col}").asc()
+    )
+    base = neighbor_pairs(
+        df, float(search_radius), id_col=id_col, lat_col=lat_col,
+        lon_col=lon_col, payload_cols=payload_cols, coord_type=coord_type,
+    )
+    results = (
+        base.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .localCheckpoint(eager=False)
+    )
+    corpus = with_ecef(df, lat_col, lon_col, coord_type=coord_type).select(
+        F.col(id_col), F.col("x"), F.col("y"), F.col("z"),
+        *[F.col(c) for c in payload_cols],
+    ).localCheckpoint(eager=False)
+
+    radius = float(search_radius)
+    pending: list[DataFrame] = []
+    for _ in range(max_doublings):
+        counts = results.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+        deficit = (
+            corpus.join(counts, on=id_col, how="left")
+            .where(F.coalesce(F.col("_n"), F.lit(0)) < int(k))
+            .drop("_n")
+            .localCheckpoint(eager=False)
+        )
+        n_def = deficit.count()  # materializes deficit (+ results chain)
+        for fr in pending:
+            fr.unpersist()
+        pending = []
+        if n_def == 0:
+            break
+        radius *= 2.0
+        cand = _asym_radius_pairs(deficit, corpus, radius, id_col, payload_cols)
+        new_rows = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(k))
+        )
+        kept = results.join(
+            F.broadcast(deficit.select(id_col)), on=id_col, how="left_anti"
+        )
+        results, old = kept.unionByName(new_rows).localCheckpoint(eager=False), results
+        pending = [old, deficit]
+    if pending:
+        # exhaustion path: the final lazy checkpoint still reads its
+        # parents' blocks — materialize it before freeing them (freed
+        # localCheckpoint blocks are unrecoverable, lineage is truncated)
+        results.count()
+        for fr in pending:
+            fr.unpersist()
+    return results
+
+
 def interpolate_to_points(
     points_df: DataFrame,
     grid_df: DataFrame,
