@@ -187,8 +187,15 @@ def outlier_fixpoint(
                 F.sum((F.col(flag_col) != GOOD).cast("long")).alias("_n_bad"),
                 F.sum(is_delta.cast("long")).alias("_n_del"),
             )
-            .localCheckpoint(eager=False)  # stays distributed: host count
-        )                                  # is unbounded at web scale
+        )
+        # NOT checkpointed: stats has two consumers (the meta agg and the
+        # host_stats join), so the rollup executes twice per iteration —
+        # but it is ONE map-side-combined shuffle over the slim
+        # checkpoint (~50ms here), far cheaper than the full driver-side
+        # analyze+optimize+toRdd pass a localCheckpoint costs per call
+        # (~0.3s, cProfile r05; six such calls were half the 20k-doc
+        # pipeline wall). It stays distributed either way: host count is
+        # unbounded at web scale.
         meta = stats.agg(
             F.max(F.when(g_total, F.col("_h_mu"))).alias("g_mu"),
             F.max(F.when(g_total, F.col("_h_iqr"))).alias("g_iqr"),
@@ -251,13 +258,12 @@ def outlier_fixpoint(
             # eagerly so the parents can be freed NOW — otherwise the
             # final round's blocks (plus the dead stats frame) persist
             # for the life of the JVM on every exhausted-loop call
-            for fr in (slim, stats):
-                fr.unpersist()
+            slim.unpersist()
             pending_free = []
         else:
-            # slim/stats still back the lazy new_slim: free them only
-            # after the next pass's meta job materializes it
-            pending_free = [slim, stats]
+            # slim still backs the lazy new_slim: free it only after
+            # the next pass's meta job materializes its successor
+            pending_free = [slim]
         slim = new_slim
 
     return slim, n_delta
