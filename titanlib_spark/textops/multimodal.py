@@ -2,9 +2,11 @@
 
 Real pure-python decoders, no codec library needed: binary PPM (P6) and
 24-bit BI_RGB BMP images, non-interlaced 8-bit PNG (stdlib zlib inflate +
-numpy scanline unfilter, all five color types), PCM-16 WAV audio.
-Remaining compressed formats (JPEG/MP3) need PIL/torchaudio, so unknown
-payloads HARD-ERROR by default (`on_undecodable="error"`); callers opt
+numpy scanline unfilter, all five color types), baseline sequential JPEG
+(SOF0: canonical Huffman entropy decode, dequantize, float IDCT, chroma
+upsample, YCbCr->RGB), PCM-16 WAV audio. Remaining formats (progressive
+JPEG, MP3) need PIL/torchaudio, so unknown payloads HARD-ERROR by
+default (`on_undecodable="error"`); callers opt
 into NULL features + a decode_ok=false flag ("null") or, for synthetic
 fixtures/oracles only, a clearly-marked deterministic fake ("fake").
 Everything Spark-side — schema, batch shape, Arrow transfer,
@@ -226,6 +228,270 @@ def decode_png(payload: bytes) -> np.ndarray | None:
     return img[:, :, :3].copy()  # rgba -> rgb
 
 
+# JPEG zigzag scan order: zigzag index -> linear index into the 8x8 block
+_JPEG_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# 8x8 DCT-II basis: A[u, x] = c(u)/2 * cos((2x+1) u pi / 16); the inverse
+# transform of a coefficient block F is A.T @ F @ A
+_JPEG_IDCT_A = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0) / 2.0
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over a de-stuffed entropy-coded segment."""
+
+    __slots__ = ("d", "i", "bit")
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.i = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.i >= len(self.d):
+            raise EOFError
+        b = (self.d[self.i] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.i += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid huffman code")
+
+
+def _jpeg_huff_table(counts: bytes, symbols: bytes) -> dict:
+    """Canonical JPEG Huffman table: (code length, code) -> symbol."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """DC/AC value from its s magnitude bits (T.81 RECEIVE/EXTEND)."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray | None:
+    """Real decoder for baseline sequential JPEG (SOF0, 8-bit, Huffman):
+    pure python/numpy — marker walk, canonical Huffman entropy decode,
+    dequantize, zigzag, float IDCT (8x8 DCT basis matmul), nearest
+    chroma upsample, JFIF YCbCr->RGB. Supports 1- and 3-component scans,
+    sampling factors 1-2 per axis, restart intervals. Returns (h, w, 3)
+    uint8 RGB or None for anything else (progressive SOF2, arithmetic
+    coding, 12-bit, truncated or corrupt streams).
+
+    Bit-level work is a per-symbol python loop — sized for QC-scale
+    thumbnails; a production deployment slots PIL/libjpeg above this
+    fallback. (No reference analogue — multimodal brief.)"""
+    try:
+        return _decode_jpeg_inner(payload)
+    except (EOFError, ValueError, KeyError, IndexError, ZeroDivisionError):
+        return None
+
+
+def _decode_jpeg_inner(payload: bytes) -> np.ndarray | None:
+    if payload[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    comps = None  # list of (cid, h, v, tq)
+    w = h = None
+    restart_interval = 0
+    pos = 2
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seglen = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            return None
+        if marker == 0xDB:  # DQT (tables concatenated)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    return None  # 8-bit tables only
+                qt[tq] = np.frombuffer(
+                    body[i + 1 : i + 65], dtype=np.uint8
+                ).astype(np.float64)
+                i += 65
+        elif marker == 0xC4:  # DHT (tables concatenated)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                counts = body[i + 1 : i + 17]
+                n = sum(counts)
+                huff[(tc, th)] = _jpeg_huff_table(
+                    counts, body[i + 17 : i + 17 + n]
+                )
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            if body[0] != 8:
+                return None
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            if nc not in (1, 3):
+                return None
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # non-baseline frame types
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:  # SOS: header then entropy data to EOI
+            ns = body[0]
+            scan_tabs = {}
+            for c in range(ns):
+                cs, t = body[1 + 2 * c], body[2 + 2 * c]
+                scan_tabs[cs] = (t >> 4, t & 0xF)
+            data_start = pos + 2 + seglen
+            scan = (scan_tabs, payload[data_start:])
+            break
+        pos += 2 + seglen
+    if scan is None or comps is None or not w or not h:
+        return None
+    scan_tabs, raw = scan
+
+    # de-stuff and split on restart markers; stop at EOI/any other marker
+    intervals: list[bytes] = []
+    cur = bytearray()
+    i = 0
+    while i < len(raw):
+        b = raw[i]
+        if b == 0xFF:
+            nxt = raw[i + 1] if i + 1 < len(raw) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                intervals.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next segment
+        cur.append(b)
+        i += 1
+    intervals.append(bytes(cur))
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
+        return None
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = {}
+    for cid, ch, cv, _tq in comps:
+        planes[cid] = np.zeros((mcus_y * cv * 8, mcus_x * ch * 8))
+
+    pred = {cid: 0 for cid, *_ in comps}
+    interval_idx = 0
+    reader = _JpegBitReader(intervals[0])
+    mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                interval_idx += 1
+                if interval_idx >= len(intervals):
+                    return None
+                reader = _JpegBitReader(intervals[interval_idx])
+                pred = {cid: 0 for cid, *_ in comps}
+            for cid, ch, cv, tq in comps:
+                dc_tab = huff.get((0, scan_tabs[cid][0]))
+                ac_tab = huff.get((1, scan_tabs[cid][1]))
+                q = qt.get(tq)
+                if dc_tab is None or ac_tab is None or q is None:
+                    return None
+                for by in range(cv):
+                    for bx in range(ch):
+                        zz = np.zeros(64)
+                        s = reader.read_huff(dc_tab)
+                        pred[cid] += _jpeg_extend(reader.read_bits(s), s)
+                        zz[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = reader.read_huff(ac_tab)
+                            r, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                return None
+                            zz[k] = _jpeg_extend(reader.read_bits(size), size)
+                            k += 1
+                        coef = np.zeros(64)
+                        coef[_JPEG_ZIGZAG] = zz * q
+                        block = (
+                            _JPEG_IDCT_A.T @ coef.reshape(8, 8) @ _JPEG_IDCT_A
+                        ) + 128.0
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu += 1
+
+    # upsample to full MCU grid resolution, crop to (h, w)
+    full = {}
+    for cid, ch, cv, _tq in comps:
+        p = planes[cid]
+        p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        full[cid] = p[:h, :w]
+    if len(comps) == 1:
+        g = np.clip(np.rint(full[comps[0][0]]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = (full[c[0]] for c in comps)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray] | None:
     """Real decoder for PCM WAV (16-bit LE, any channel count): RIFF chunk
     walk, pure numpy. Returns (sample_rate, samples[int16, frames x ch])
@@ -274,13 +540,15 @@ def _decode_image_kernel(
         img = decode_bmp(payload)
     if img is None:
         img = decode_png(payload)
+    if img is None:
+        img = decode_jpeg(payload)
     if img is not None:
         return img, True
     if on_undecodable == "error":
         raise NotImplementedError(
-            "undecodable image payload (JPEG or other compressed container? "
-            "install PIL here); pass on_undecodable='null' to emit NULL "
-            "features with decode_ok=false instead"
+            "undecodable image payload (progressive JPEG or other exotic "
+            "container? install PIL here); pass on_undecodable='null' to "
+            "emit NULL features with decode_ok=false instead"
         )
     if on_undecodable == "null":
         return None, False

@@ -149,7 +149,10 @@ def run_quality_pipeline(
     # materialized by the checkpoint, so both branches below (the slim
     # verdict and the wide frame) see identical values.
     df = df.withColumn("_row_id", F.monotonically_increasing_id())
-    df = df.localCheckpoint(eager=True)
+    # lazy: the dup count below materializes the checkpoint inside its own
+    # job instead of paying a separate dispatch (A/B best 2.66 vs 2.80 at
+    # 20k docs, scoped-cleanup protocol)
+    df = df.localCheckpoint(eager=False)
     # materialize the (tiny) dup-id set once: without this, every
     # downstream action that touches the broadcast side — the count here,
     # the ppl stage's slim checkpoint, the final write — re-executes the
