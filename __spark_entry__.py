@@ -978,6 +978,58 @@ def q_knn_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM-WAV decode value oracle: payloads are REAL RIFF/WAVE bytes
+    synthesized deterministically from media_id (16-bit mono, sample
+    s_t = ((id*31 + 7t) % 200) - 100, n = 64 + id%50 frames, rate
+    8000 + (id%4)*4000), decoded by the actual audio_features RIFF
+    parser; the DuckDB twin recomputes rate/frames/rms/zcr in closed
+    form from the same sample formula — so the byte-level decode path is
+    value-checked end-to-end. Integer-valued samples keep every sum
+    exact in float64 (magnitudes << 2^53), so sqrt(avg(s^2)) and the
+    sign-change mean are bit-identical across engines with no rounding."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from titanlib_spark.textops.multimodal import audio_features
+
+    def gen(batches):
+        import struct
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = 64 + mid % 50
+                rate = 8000 + (mid % 4) * 4000
+                samples = [((mid * 31 + t * 7) % 200) - 100 for t in range(n)]
+                data = struct.pack(f"<{n}h", *samples)
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                    + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+            out = pdf.copy()
+            out["payload"] = payloads
+            yield out
+
+    base = spark.range(0, 200, numPartitions=8).select(
+        F.col("id").alias("media_id")
+    )
+    media = base.mapInPandas(
+        gen,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    return audio_features(media).select(
+        "media_id", "decoded_rate", "n_frames", "rms", "zero_cross_rate"
+    )
+
+
 def q_knn_always_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-NN per customer with ALWAYS-K semantics (reference R-tree kNN,
     src/kdtree.cpp:105-126): the 1.5 km base radius leaves most grid
@@ -1503,6 +1555,33 @@ SELECT p.id,
             ELSE g.mu - 0.0065 * p.elev END AS bg
 FROM pv p JOIN g USING (grp)
 ORDER BY id
+"""
+
+    # WAV decode twin: recompute rate/frames/rms/zcr in closed form from
+    # the sample formula the Spark side packs into real RIFF bytes
+    sql["audio_wav_features"] = """
+WITH ids AS (SELECT unnest(range(0, 200)) AS media_id),
+samp AS (
+  SELECT i.media_id, t.t,
+         CAST(((i.media_id * 31 + t.t * 7) % 200) - 100 AS DOUBLE) AS s
+  FROM ids i, LATERAL (
+    SELECT unnest(range(0, 64 + i.media_id % 50)) AS t
+  ) t
+),
+zc AS (
+  SELECT media_id, t, s,
+         lag(s) OVER (PARTITION BY media_id ORDER BY t) AS prev
+  FROM samp
+)
+SELECT media_id,
+       CAST(8000 + (media_id % 4) * 4000 AS INTEGER) AS decoded_rate,
+       CAST(64 + media_id % 50 AS BIGINT) AS n_frames,
+       sqrt(avg(s * s)) AS rms,
+       avg(CASE WHEN prev IS NULL THEN NULL
+                WHEN (s < 0) != (prev < 0) THEN 1.0 ELSE 0.0 END)
+         AS zero_cross_rate
+FROM zc GROUP BY media_id
+ORDER BY media_id
 """
 
     # always-k kNN: the oracle is the UNBOUNDED pairwise ranking — the
@@ -2790,6 +2869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate_to_points": q_interpolate_to_points,
         "knn_avg": q_knn_avg,
         "knn_always_k": q_knn_always_k,
+        "audio_wav_features": q_audio_wav_features,
     }
 
 
