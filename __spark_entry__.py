@@ -1030,6 +1030,212 @@ def q_audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG decode value oracle: grayscale pixels from a deterministic
+    formula p(r,c) = (id*13 + 31r + 7c) % 256 are encoded into REAL PNG
+    bytes (8-bit, scanline filters CYCLING 0..4 so every unfilter branch
+    runs), decoded by the actual zlib+unfilter decoder through
+    image_features, and the DuckDB twin recomputes the 4 horizontal band
+    means from the same formula (np.array_split row banding replayed with
+    the same quotient/remainder split). Integer pixel sums are exact in
+    float64; the float32 feature narrowing is mirrored with
+    (x::REAL)::DOUBLE (same trick as multimodal_features)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from titanlib_spark.textops.multimodal import image_features
+
+    def gen(batches):
+        import struct
+        import zlib
+
+        def paeth(a, b, cc):
+            p = a + b - cc
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+            return a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+
+        def png_bytes(mid):
+            w = 8 + mid % 24
+            h = 8 + (mid * 5) % 24
+            raw = bytearray()
+            prev = [0] * w
+            for r in range(h):
+                ft = r % 5
+                cur = [(mid * 13 + r * 31 + c * 7) % 256 for c in range(w)]
+                left = lambda c: cur[c - 1] if c else 0
+                uleft = lambda c: prev[c - 1] if c else 0
+                if ft == 0:
+                    enc = cur
+                elif ft == 1:
+                    enc = [(cur[c] - left(c)) % 256 for c in range(w)]
+                elif ft == 2:
+                    enc = [(cur[c] - prev[c]) % 256 for c in range(w)]
+                elif ft == 3:
+                    enc = [
+                        (cur[c] - (left(c) + prev[c]) // 2) % 256
+                        for c in range(w)
+                    ]
+                else:
+                    enc = [
+                        (cur[c] - paeth(left(c), prev[c], uleft(c))) % 256
+                        for c in range(w)
+                    ]
+                raw.append(ft)
+                raw += bytes(enc)
+                prev = cur
+
+            def chunk(cid, body):
+                return (
+                    len(body).to_bytes(4, "big") + cid + body
+                    + zlib.crc32(cid + body).to_bytes(4, "big")
+                )
+
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""), w, h,
+            )
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                payload, w, h = png_bytes(int(mid))
+                rows.append(
+                    {"media_id": int(mid), "payload": payload,
+                     "width": w, "height": h}
+                )
+            yield pd.DataFrame(rows)
+
+    base = spark.range(0, 150, numPartitions=8).select(
+        F.col("id").alias("media_id")
+    )
+    media = base.mapInPandas(
+        gen,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+                T.StructField("width", T.IntegerType()),
+                T.StructField("height", T.IntegerType()),
+            ]
+        ),
+    )
+    feats = image_features(media, out_dim=4)
+    return feats.select(
+        "media_id", "width", "height",
+        *[
+            F.round(F.element_at("feature", i + 1).cast("double"), 3).alias(f"f{i}")
+            for i in range(4)
+        ],
+        F.col("decode_ok").cast("int").alias("decode_ok"),
+    )
+
+
+def q_jpeg_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG decode value oracle: images are grids of FLAT 8x8
+    blocks with v(bi,bj) = (id*17 + 31*bi + 7*bj) % 256 — a flat block's
+    DCT is a single integer DC coefficient, so with an all-ones quant
+    table the Huffman -> dequantize -> IDCT chain reconstructs v EXACTLY
+    (proved bit-exact in tests/test_jpeg.py). The Spark side encodes real
+    SOI/DQT/SOF0/DHT/SOS streams (canonical all-8-bit Huffman codes, byte
+    stuffing) and decodes them through image_features; the DuckDB twin
+    recomputes the band means from the block-value formula."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from titanlib_spark.textops.multimodal import image_features
+
+    def gen(batches):
+        def category(v):
+            return abs(int(v)).bit_length()
+
+        def jpeg_bytes(mid):
+            h = 16
+            w = 24 + (mid % 3) * 8
+            # canonical all-8-bit tables over the used symbols
+            dc_syms = list(range(12))
+            ac_syms = [0x00]
+            dc_codes = {s: (i, 8) for i, s in enumerate(dc_syms)}
+            ac_codes = {s: (i, 8) for i, s in enumerate(ac_syms)}
+            bits = []
+
+            def put(value, nbits):
+                for i in range(nbits - 1, -1, -1):
+                    bits.append((value >> i) & 1)
+
+            pred = 0
+            for by in range(h // 8):
+                for bx in range(w // 8):
+                    v = (mid * 17 + 31 * by + 7 * bx) % 256
+                    dc = 8 * (v - 128)
+                    diff = dc - pred
+                    pred = dc
+                    s = category(diff)
+                    put(*dc_codes[s])
+                    if s:
+                        put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                    put(*ac_codes[0x00])  # EOB: flat block has no AC
+            while len(bits) % 8:
+                bits.append(1)
+            data = bytearray()
+            for i in range(0, len(bits), 8):
+                b = 0
+                for j in range(8):
+                    b = (b << 1) | bits[i + j]
+                data.append(b)
+                if b == 0xFF:
+                    data.append(0x00)
+
+            def seg(marker, body):
+                return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+            counts8 = lambda n: bytes([0] * 7 + [n] + [0] * 8)
+            out = bytearray(b"\xff\xd8")
+            out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+            out += seg(0xC0, bytes([8]) + h.to_bytes(2, "big")
+                       + w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+            out += seg(0xC4, bytes([0x00]) + counts8(len(dc_syms)) + bytes(dc_syms))
+            out += seg(0xC4, bytes([0x10]) + counts8(len(ac_syms)) + bytes(ac_syms))
+            out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            out += bytes(data) + b"\xff\xd9"
+            return bytes(out), w, h
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                payload, w, h = jpeg_bytes(int(mid))
+                rows.append(
+                    {"media_id": int(mid), "payload": payload,
+                     "width": w, "height": h}
+                )
+            yield pd.DataFrame(rows)
+
+    base = spark.range(0, 120, numPartitions=8).select(
+        F.col("id").alias("media_id")
+    )
+    media = base.mapInPandas(
+        gen,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+                T.StructField("width", T.IntegerType()),
+                T.StructField("height", T.IntegerType()),
+            ]
+        ),
+    )
+    feats = image_features(media, out_dim=4)
+    return feats.select(
+        "media_id", "width", "height",
+        *[
+            F.round(F.element_at("feature", i + 1).cast("double"), 3).alias(f"f{i}")
+            for i in range(4)
+        ],
+        F.col("decode_ok").cast("int").alias("decode_ok"),
+    )
+
+
 def q_knn_always_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-NN per customer with ALWAYS-K semantics (reference R-tree kNN,
     src/kdtree.cpp:105-126): the 1.5 km base radius leaves most grid
@@ -1581,6 +1787,71 @@ SELECT media_id,
                 WHEN (s < 0) != (prev < 0) THEN 1.0 ELSE 0.0 END)
          AS zero_cross_rate
 FROM zc GROUP BY media_id
+ORDER BY media_id
+"""
+
+    # PNG decode twin: recompute the 4 band means from the pixel formula
+    # the Spark side encodes into real PNG bytes (filters 0..4 cycling);
+    # band j(r) replays np.array_split's quotient/remainder row split
+    sql["png_decode_features"] = """
+WITH ids AS (
+  SELECT media_id, 8 + media_id % 24 AS w, 8 + (media_id * 5) % 24 AS h
+  FROM (SELECT unnest(range(0, 150)) AS media_id)
+),
+px AS (
+  SELECT i.media_id, i.w, i.h, i.h // 4 AS q, i.h % 4 AS rem, r.r,
+         (i.media_id * 13 + 31 * r.r + 7 * c.c) % 256 AS px
+  FROM ids i, generate_series(0, 31) r(r), generate_series(0, 31) c(c)
+  WHERE r.r < i.h AND c.c < i.w
+),
+banded AS (
+  SELECT media_id, w, h,
+         CASE WHEN r < rem * (q + 1) THEN r // (q + 1)
+              ELSE rem + (r - rem * (q + 1)) // q END AS j,
+         px
+  FROM px
+),
+bands AS (
+  SELECT media_id, w, h, j,
+         (sum(px)::DOUBLE / count(*)) / 255.0 AS m
+  FROM banded GROUP BY media_id, w, h, j
+)
+SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       round((max(CASE WHEN j = 0 THEN m END)::REAL)::DOUBLE, 3) AS f0,
+       round((max(CASE WHEN j = 1 THEN m END)::REAL)::DOUBLE, 3) AS f1,
+       round((max(CASE WHEN j = 2 THEN m END)::REAL)::DOUBLE, 3) AS f2,
+       round((max(CASE WHEN j = 3 THEN m END)::REAL)::DOUBLE, 3) AS f3,
+       1 AS decode_ok
+FROM bands GROUP BY media_id, w, h
+ORDER BY media_id
+"""
+
+    # JPEG decode twin: flat 8x8 blocks reconstruct exactly, so the band
+    # means come straight from the block-value formula; 16 rows / 4 bands
+    # = 4 rows per band (rows 0-7 block-row 0, 8-15 block-row 1)
+    sql["jpeg_decode_features"] = """
+WITH ids AS (
+  SELECT media_id, 24 + (media_id % 3) * 8 AS w, 16 AS h
+  FROM (SELECT unnest(range(0, 120)) AS media_id)
+),
+px AS (
+  SELECT i.media_id, i.w, i.h, r.r,
+         (i.media_id * 17 + 31 * (r.r // 8) + 7 * (c.c // 8)) % 256 AS px
+  FROM ids i, generate_series(0, 15) r(r), generate_series(0, 39) c(c)
+  WHERE c.c < i.w
+),
+bands AS (
+  SELECT media_id, w, h, r // 4 AS j,
+         (sum(px)::DOUBLE / count(*)) / 255.0 AS m
+  FROM px GROUP BY media_id, w, h, r // 4
+)
+SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       round((max(CASE WHEN j = 0 THEN m END)::REAL)::DOUBLE, 3) AS f0,
+       round((max(CASE WHEN j = 1 THEN m END)::REAL)::DOUBLE, 3) AS f1,
+       round((max(CASE WHEN j = 2 THEN m END)::REAL)::DOUBLE, 3) AS f2,
+       round((max(CASE WHEN j = 3 THEN m END)::REAL)::DOUBLE, 3) AS f3,
+       1 AS decode_ok
+FROM bands GROUP BY media_id, w, h
 ORDER BY media_id
 """
 
@@ -2870,6 +3141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_avg": q_knn_avg,
         "knn_always_k": q_knn_always_k,
         "audio_wav_features": q_audio_wav_features,
+        "png_decode_features": q_png_decode_features,
+        "jpeg_decode_features": q_jpeg_decode_features,
     }
 
 
