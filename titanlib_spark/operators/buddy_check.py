@@ -29,6 +29,59 @@ from titanlib_spark.functions.geo import undirected_neighbor_pairs
 from titanlib_spark.operators.range_check import is_invalid_value
 
 
+def _position_rollup(
+    unflagged: DataFrame,
+    radius: float,
+    lat_col: str,
+    lon_col: str,
+    aggs: dict[str, F.Column],
+    cell_size: float | None,
+    coord_type: str,
+):
+    """Undirected POSITION-pair frame for scalar-radius, no-lapse buddy
+    stats: aggregate the per-point value moments per distinct (lat, lon)
+    first, pair up positions (same grid join, p rows instead of n), and
+    explode each pair into two (query-position, other-side-aggregates)
+    directions. Valid because the dsq > 0 rule already excludes every
+    coordinate-identical pair, so each point's buddy set is exactly the
+    union of the OTHER in-radius positions' point sets — per-point stats
+    are sums of per-position moments (the harness's 40x40 lattice: 150k
+    points -> 1,600 positions, ~400M pair rows -> ~25k). Returns the
+    exploded frame with struct `_d` = (_q: position struct, one field per
+    agg name)."""
+    names = list(aggs)
+    pos = (
+        unflagged.groupBy(lat_col, lon_col)
+        .agg(*[expr.alias(f"_pos_{n}") for n, expr in aggs.items()])
+        .withColumn("_pid", F.struct(lat_col, lon_col))
+    )
+    und, _, _ = undirected_neighbor_pairs(
+        pos,
+        float(radius),
+        id_col="_pid",
+        lat_col=lat_col,
+        lon_col=lon_col,
+        carry_cols=tuple(f"_pos_{n}" for n in names),
+        include_self=False,
+        cell_size=cell_size,
+        coord_type=coord_type,
+    )
+    return und.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_ida").alias("_q"),
+                    *[F.col(f"_pb__pos_{n}").alias(n) for n in names],
+                ),
+                F.struct(
+                    F.col("_idb").alias("_q"),
+                    *[F.col(f"_pa__pos_{n}").alias(n) for n in names],
+                ),
+            )
+        ).alias("_d")
+    )
+
+
 def _buddy_stats(
     unflagged: DataFrame,
     radius,
@@ -41,16 +94,57 @@ def _buddy_stats(
     elev_gradient: float,
     cell_size: float | None,
     coord_type: str = "geodetic",
-) -> DataFrame:
-    """Per-id buddy count / mean / population variance (lapse-adjusted)."""
+):
+    """Buddy count / mean / population variance (lapse-adjusted).
+
+    Returns (stats_df, join_cols): per-id stats joined on id for the
+    per-row-radius / lapse-adjusted cases, per-POSITION stats joined on
+    (lat, lon) otherwise (see _position_rollup — the dominant path).
+    mean/variance from summed per-position moments reassociate the float
+    adds, which Spark's partial aggregation already does nondeterministically
+    across partitions; flag margins tolerate it by construction (rule 23
+    audit in scratch/buddy_margin_audit.py)."""
+    use_elev = elev_col is not None and max_elev_diff > 0
+    if not isinstance(radius, str) and not use_elev:
+        v = F.col(value_col)
+        rolled = _position_rollup(
+            unflagged,
+            radius,
+            lat_col,
+            lon_col,
+            {"n": F.count(v), "s": F.sum(v), "q": F.sum(v * v)},
+            cell_size,
+            coord_type,
+        )
+        agg = rolled.groupBy(F.col("_d._q").alias("_q")).agg(
+            F.sum("_d.n").alias("_n_buddies"),
+            F.sum("_d.s").alias("_s"),
+            F.sum("_d.q").alias("_qq"),
+        )
+        mean = F.col("_s") / F.col("_n_buddies")
+        stats = agg.select(
+            "_q.*",
+            "_n_buddies",
+            mean.alias("_buddy_mean"),
+            # population variance from raw moments; clamp the tiny negative
+            # fp residue a zero-variance neighborhood can produce (sqrt of
+            # it would be NaN downstream)
+            F.greatest(
+                F.col("_qq") / F.col("_n_buddies") - mean * mean, F.lit(0.0)
+            ).alias("_buddy_var"),
+        )
+        return stats, [lat_col, lon_col]
     mirrored = _mirrored_adj_values(
         unflagged, radius, id_col, lat_col, lon_col, value_col, elev_col,
         max_elev_diff, elev_gradient, cell_size, coord_type,
     )
-    return mirrored.groupBy(F.col("_d._q").alias(id_col)).agg(
-        F.count("_d._v").alias("_n_buddies"),
-        F.avg("_d._v").alias("_buddy_mean"),
-        F.var_pop("_d._v").alias("_buddy_var"),
+    return (
+        mirrored.groupBy(F.col("_d._q").alias(id_col)).agg(
+            F.count("_d._v").alias("_n_buddies"),
+            F.avg("_d._v").alias("_buddy_mean"),
+            F.var_pop("_d._v").alias("_buddy_var"),
+        ),
+        [id_col],
     )
 
 
@@ -76,8 +170,37 @@ def _buddy_event_stats(
     length-N vector convention, include/titanlib.h:287-296): the event
     conversion of a neighbor's adjusted value uses the QUERY row's
     threshold (src/buddy_event_check.cpp:100-127), so with a column the
-    bit is direction-specific on the undirected pair row."""
+    bit is direction-specific on the undirected pair row.
+
+    Returns (stats_df, join_cols) like _buddy_stats. The position rollup
+    applies only when the event bit is a pure function of the neighbor row
+    (scalar threshold, no lapse adjustment): both aggregates are then
+    integer sums of per-position integer counts — bit-identical."""
     et_is_col = isinstance(event_threshold, str)
+    use_elev = elev_col is not None and max_elev_diff > 0
+    if not isinstance(radius, str) and not use_elev and not et_is_col:
+        v = F.col(value_col)
+        rolled = _position_rollup(
+            unflagged,
+            radius,
+            lat_col,
+            lon_col,
+            {
+                "n": F.count(v),
+                "e": F.sum((v < F.lit(float(event_threshold))).cast("long")),
+            },
+            cell_size,
+            coord_type,
+        )
+        stats = (
+            rolled.groupBy(F.col("_d._q").alias("_q"))
+            .agg(
+                F.sum("_d.n").alias("_n_buddies"),
+                F.sum("_d.e").alias("_n_event"),
+            )
+            .select("_q.*", "_n_buddies", "_n_event")
+        )
+        return stats, [lat_col, lon_col]
 
     def tf(adj, qside):
         et = (
@@ -93,9 +216,12 @@ def _buddy_event_stats(
         transform=tf,
         extra_carry=(event_threshold,) if et_is_col else (),
     )
-    return mirrored.groupBy(F.col("_d._q").alias(id_col)).agg(
-        F.count("_d._v").alias("_n_buddies"),
-        F.sum("_d._v").alias("_n_event"),
+    return (
+        mirrored.groupBy(F.col("_d._q").alias(id_col)).agg(
+            F.count("_d._v").alias("_n_buddies"),
+            F.sum("_d._v").alias("_n_event"),
+        ),
+        [id_col],
     )
 
 
@@ -203,7 +329,7 @@ def buddy_check(
     prev_bad = df.where(F.col(flag_col) != GOOD).count()
     for _ in range(int(num_iterations)):
         unflagged = df.where(F.col(flag_col) == GOOD)
-        stats = _buddy_stats(
+        stats, join_on = _buddy_stats(
             unflagged,
             radius,
             id_col,
@@ -216,7 +342,10 @@ def buddy_check(
             cell_size,
             coord_type,
         )
-        joined = df.join(stats, on=id_col, how="left")
+        # position-keyed stats may also match already-flagged rows sharing
+        # a position with unflagged ones (id-keyed stats never did); the
+        # monotone flag merge makes that difference unobservable
+        joined = df.join(stats, on=join_on, how="left")
         # num_min / threshold / min_std accept a scalar or a per-row column
         # name (reference length-N vector convention, src/buddy_check.cpp:32-41)
         _pcol = lambda v, cast: F.col(v) if isinstance(v, str) else F.lit(cast(v))

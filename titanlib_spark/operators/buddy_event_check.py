@@ -62,12 +62,15 @@ def buddy_event_check(
     prev_bad = df.where(F.col(flag_col) != GOOD).count()
     for _ in range(int(num_iterations)):
         unflagged = df.where(F.col(flag_col) == GOOD)
-        stats = _buddy_event_stats(
+        stats, join_on = _buddy_event_stats(
             unflagged, radius, id_col, lat_col, lon_col, value_col,
             elev_col if use_elev else None, max_elev_diff, elev_gradient,
             event_threshold, cell_size, coord_type,
         )
-        joined = df.join(stats, on=id_col, how="left")
+        # position-keyed stats may also match already-flagged rows sharing
+        # a position with unflagged ones; the monotone flag merge makes
+        # that difference unobservable
+        joined = df.join(stats, on=join_on, how="left")
         _pcol = lambda v, cast: F.col(v) if isinstance(v, str) else F.lit(cast(v))
         thr = _pcol(threshold, float)
         is_event = F.col(value_col) < _pcol(event_threshold, float)
