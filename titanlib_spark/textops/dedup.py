@@ -12,6 +12,7 @@ reference src/sct.cpp:130-146).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -176,6 +177,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     max_bucket: int = 1000,
     hash_fn: str = "xxhash64",
+    materialize: bool = False,
 ) -> DataFrame:
     """Candidate pairs (a < b) sharing at least one LSH band bucket.
 
@@ -184,7 +186,14 @@ def minhash_lsh_candidates(
     itself — trivially oracle-equal, slightly wider shuffle rows). Pairs are
     generated inside buckets with a self-join on the bucket key; buckets
     larger than `max_bucket` are dropped (degenerate content, e.g.
-    boilerplate — the reference's num_max truncation applied to LSH)."""
+    boilerplate — the reference's num_max truncation applied to LSH).
+
+    `materialize=True` checkpoints the banded frame once and returns an
+    EAGER checkpoint of the candidate list, unpersisting the banded blocks
+    before returning: the banded frame feeds three plan branches (bucket
+    counts + both self-join sides), each of which re-runs the banding —
+    and everything upstream of `df` — when left lazy. Use it whenever `df`
+    is not already a materialized frame."""
     sig = F.col(sig_col)
     k = F.size(sig)
     r = (k / bands).cast("int")
@@ -200,17 +209,19 @@ def minhash_lsh_candidates(
             F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), bucket_of)
         ).alias("band", "bucket"),
     )
+    if materialize:
+        banded = banded.localCheckpoint(eager=True)
     # bucket-size cap via groupBy+join-back, NOT a window count: the
     # partial (map-side) aggregation keeps a degenerate bucket cheap, and
     # AQE's skew-join can split the join's hot partition — WindowExec
     # would buffer the whole pathological bucket in one task instead
     counts = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_c"))
-    banded = banded.join(
+    capped = banded.join(
         counts.where(F.col("_c") <= max_bucket), on=["band", "bucket"]
     ).drop("_c")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
+    a = capped.alias("a")
+    b = capped.alias("b")
+    cands = (
         a.join(
             b,
             (F.col(f"a.band") == F.col(f"b.band"))
@@ -222,6 +233,10 @@ def minhash_lsh_candidates(
         )
         .distinct()
     )
+    if materialize:
+        cands = cands.localCheckpoint(eager=True)
+        banded.unpersist()
+    return cands
 
 
 def estimated_jaccard(sig_a: Column, sig_b: Column) -> Column:
@@ -247,12 +262,23 @@ def minhash_lsh_dedup(
     (one pass; transitive chains resolve to the min id because every later
     member pairs with an earlier one through shared buckets or survives to
     the next run — exact connected components are overkill for filter-grade
-    dedup and would add an iterative shuffle)."""
-    with_sig = minhash_signatures(
-        df, text_col, num_hashes, shingle_size, id_col=id_col, hash_fn=hash_fn
+    dedup and would add an iterative shuffle).
+
+    Materialization (r06): the signature stage otherwise feeds SIX plan
+    branches (three banded consumers + two verify attachments + the final
+    anti-join) and re-runs per branch. Signatures are checkpointed once,
+    the candidate list is materialized (banded checkpointed inside), the
+    loser set — tiny — is checkpointed, and every intermediate block is
+    unpersisted before returning: the final anti-join reads only `df` and
+    the loser checkpoint (the minhash column was dropped from the result
+    anyway, so the survivors never needed the signature lineage)."""
+    sigs = minhash_signatures(
+        df, text_col, num_hashes, shingle_size, id_col=id_col, hash_fn=hash_fn,
+        signatures_only=True,
+    ).localCheckpoint(eager=True)
+    cands = minhash_lsh_candidates(
+        sigs, id_col, "minhash", bands, hash_fn=hash_fn, materialize=True
     )
-    cands = minhash_lsh_candidates(with_sig, id_col, "minhash", bands, hash_fn=hash_fn)
-    sigs = with_sig.select(F.col(id_col), F.col("minhash"))
     pairs = (
         cands.join(
             sigs.withColumnsRenamed({id_col: "id_a", "minhash": "sig_a"}), on="id_a"
@@ -260,8 +286,14 @@ def minhash_lsh_dedup(
         .join(sigs.withColumnsRenamed({id_col: "id_b", "minhash": "sig_b"}), on="id_b")
         .where(estimated_jaccard(F.col("sig_a"), F.col("sig_b")) >= threshold)
     )
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return with_sig.join(losers, on=id_col, how="left_anti").drop("minhash")
+    losers = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sigs.unpersist()
+    cands.unpersist()
+    return df.join(losers, on=id_col, how="left_anti")
 
 
 # --- simhash -----------------------------------------------------------------
@@ -427,6 +459,61 @@ def word_ngrams(text: str | Column, n: int = 3) -> Column:
     return let_bound(toks, grams_of)
 
 
+def word_ngram_minhash_udf(n: int = 3, num_hashes: int = 64):
+    """Arrow UDF: md5-mode MinHash signature over word n-grams, row-local.
+
+    Bit-identical to minhash_signatures(hash_fn="md5") over
+    :func:`word_ngrams` (same tokenization as split(lower(trim(t)), \\s+)
+    including Java split's leading-empty-token/trailing-empty-drop
+    behavior, same md5-derived 60-bit base hash, same seeded (a, b)
+    permutation mins — integer arithmetic throughout, so equality is
+    exact, and the `minhash_sigs` full-signature oracle pins it). Same
+    rule-33 economics as streaming's minhash_sig_udf: one Python md5 per
+    gram + vectorized numpy permutation math replaces the gram
+    explode -> shuffle -> 64 codegen'd min-aggregates (the explode ships
+    ~50 gram strings per doc through a shuffle; this ships nothing).
+    Docs with fewer than n tokens (or NULL text) yield NULL."""
+    a_list, b_list = _minhash_coeffs(num_hashes)
+
+    @F.pandas_udf("array<long>")
+    def _sig(text: pd.Series) -> pd.Series:
+        import hashlib
+        import re
+
+        import numpy as np
+
+        a = np.asarray(a_list, dtype=np.int64)[:, None]
+        b = np.asarray(b_list, dtype=np.int64)[:, None]
+        ws = re.compile(r"\s+")
+        out = []
+        for t in text.to_numpy(dtype=object):
+            if not isinstance(t, str):
+                out.append(None)
+                continue
+            toks = ws.split(t.strip(" ").lower())
+            if toks and toks[-1] == "":  # Java split drops trailing empties
+                toks.pop()
+            if len(toks) < n:
+                out.append(None)
+                continue
+            grams = {
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            }
+            h = np.fromiter(
+                (
+                    int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                    % MERSENNE31
+                    for g in grams
+                ),
+                dtype=np.int64,
+                count=len(grams),
+            )[None, :]
+            out.append(((a * h + b) % MERSENNE31).min(axis=1).tolist())
+        return pd.Series(out, dtype=object)
+
+    return _sig
+
+
 def ngram_jaccard_pairs_lsh(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -453,15 +540,23 @@ def ngram_jaccard_pairs_lsh(
     arrays are distinct by construction). With bands=16 over 64 hashes the
     gate recalls >99% of pairs at jaccard >= 0.5 (1-(1-s^4)^16).
 
-    The gram arrays are materialized ONCE (localCheckpoint) before fanning
-    out to the two consumers (signatures, verify): gram generation is an
-    interpreted-HOF expression that Spark would otherwise re-evaluate per
-    plan branch (~4x, measured ~50s extra at sf0.1). The RESULT is also
-    materialized (eager localCheckpoint) so the gram blocks can be
-    unpersisted before returning — otherwise every call leaks storage
-    blocks for the life of the JVM (a 12x slowdown once dead blocks
-    squeeze execution memory, measured). The returned pairs frame is tiny
-    (near-dup pairs at `threshold`).
+    Materialization boundaries (each measured at sf1-scale, 50k docs,
+    local[32], r06): SIGNATURES are checkpointed — the candidate stage
+    consumes them through three plan branches (bucket counts + both
+    self-join sides) and would otherwise re-run the whole signature stage
+    per branch (13.3s -> 4.6s for the candidate stage). In md5 mode the
+    signature itself comes from ONE row-local Arrow pass
+    (:func:`word_ngram_minhash_udf`) instead of gram-checkpoint ->
+    explode -> shuffle -> 64 min-aggregates (grams 3.2s + sigs 4.4s ->
+    ~1.5s, and no gram shuffle at 100 TB). Gram arrays for the exact
+    verify are computed only for the candidate ids (a broadcast semi-join
+    of the bounded candidate list back onto the input), so the full-corpus
+    gram arrays are never materialized at all. The RESULT is eagerly
+    checkpointed so every intermediate block can be unpersisted before
+    returning — otherwise each call leaks storage blocks for the life of
+    the JVM (a 12x slowdown once dead blocks squeeze execution memory,
+    measured). The returned pairs frame is tiny (near-dup pairs at
+    `threshold`).
 
     `broadcast_candidates` hints F.broadcast on the candidate-bounded
     build sides of the verify joins — the checkpointed ancestors carry no
@@ -470,31 +565,53 @@ def ngram_jaccard_pairs_lsh(
     data); the joins then fall back to shuffle joins on the ids."""
     from titanlib_spark.session import spread_small_input
 
-    grams = spread_small_input(df).select(
-        F.col(id_col), word_ngrams(text_col, n).alias("_g")
-    ).localCheckpoint(eager=True)
-    sigs = minhash_signatures(
-        grams, "_g", num_hashes, id_col=id_col, hash_fn=hash_fn,
-        gram_fn=lambda t: F.col("_g"), signatures_only=True,
-    )
-    # materialize the bounded candidate list ONCE: it fans out to TWO join
-    # branches below (pair rows + distinct id_b), and an unmaterialized
-    # cands would re-run the whole minhash signature stage per branch
-    # (measured 4.6s -> 26s at sf0.1)
+    if hash_fn == "md5":
+        # asNondeterministic: the isNotNull filter below otherwise makes
+        # the optimizer evaluate the UDF once below the pushed filter and
+        # AGAIN in the projection (guide-§4.4 duplication; measured 9-11s
+        # vs 1.1s at 50k docs)
+        sig_udf = word_ngram_minhash_udf(n, num_hashes).asNondeterministic()
+        sigs = (
+            spread_small_input(df)
+            .select(F.col(id_col), sig_udf(F.col(text_col)).alias("minhash"))
+            .where(F.col("minhash").isNotNull())
+            .localCheckpoint(eager=True)
+        )
+    else:
+        sigs = minhash_signatures(
+            spread_small_input(df), text_col, num_hashes, id_col=id_col,
+            hash_fn=hash_fn, gram_fn=lambda t: word_ngrams(t, n),
+            signatures_only=True,
+        ).localCheckpoint(eager=True)
+    # materialize=True: checkpoints banded once inside and returns the
+    # bounded candidate list as an eager checkpoint — it fans out to THREE
+    # consumers below (the id semi-join + both verify attachments)
     cands = minhash_lsh_candidates(
-        sigs, id_col, "minhash", bands, max_bucket, hash_fn=hash_fn
-    ).localCheckpoint(eager=True)
+        sigs, id_col, "minhash", bands, max_bucket, hash_fn=hash_fn,
+        materialize=True,
+    )
+    # exact verify on candidate DOCS only: pull the gram arrays for ids in
+    # the candidate list (bounded by 2 x |cands|) — the broadcast carries
+    # slim ids, the HOF gram expression runs over just those rows
+    ids = cands.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
+    ).distinct()
+    cand_grams = (
+        df.join(F.broadcast(ids), on=id_col)
+        .select(F.col(id_col), word_ngrams(text_col, n).alias("_g"))
+        .localCheckpoint(eager=True)
+    )
     maybe_bc = F.broadcast if broadcast_candidates else (lambda d: d)
     # only the SLIM cands frame is ever broadcast: each side's gram array
-    # is attached independently (grams streams against the broadcast), and
-    # the two candidate-bounded attachments join on the pair key — a
+    # is attached independently (cand_grams streams against the broadcast),
+    # and the two candidate-bounded attachments join on the pair key — a
     # shuffle bounded by n_candidates x one array per row. Broadcasting an
     # array-carrying side (the old a_side shape) scaled the broadcast as
     # n_candidates x per-doc gram bytes and could OOM on a dirty corpus.
-    a_side = grams.select(
+    a_side = cand_grams.select(
         F.col(id_col).alias("id_a"), F.col("_g").alias("_ga")
     ).join(maybe_bc(cands), on="id_a")
-    b_side = grams.select(
+    b_side = cand_grams.select(
         F.col(id_col).alias("id_b"), F.col("_g").alias("_gb")
     ).join(maybe_bc(cands.select("id_b").distinct()), on="id_b")
     pair_rows = a_side.join(b_side, on="id_b")
@@ -506,8 +623,9 @@ def ngram_jaccard_pairs_lsh(
         .select("id_a", "id_b", "jaccard")
         .localCheckpoint(eager=True)
     )
-    grams.unpersist()
+    sigs.unpersist()
     cands.unpersist()
+    cand_grams.unpersist()
     return pairs
 
 
