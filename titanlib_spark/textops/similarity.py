@@ -143,24 +143,37 @@ def lsh_candidate_pairs(
     seed: int = 7,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    materialize: bool = False,
 ) -> DataFrame:
     """Deduped candidate pairs (id_a < id_b) colliding in ANY hyperplane
     table — the gate stage of :func:`embedding_near_dup_pairs`, exposed so
     callers can measure prune ratio / recall. Carries ONLY (id, table,
-    bucket): the n_tables-way replication never ships the vector payload."""
+    bucket): the n_tables-way replication never ships the vector payload.
+
+    `materialize=True` checkpoints the slim (id, table, bucket) frame once
+    and returns the candidate list as an EAGER checkpoint, unpersisting
+    the keyed blocks before returning: both self-join sides otherwise
+    re-run the signature UDF (and everything upstream of `df`) per
+    branch."""
     sig_udf = _table_signatures_udf(dim, n_planes, n_tables, seed)
     keyed = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(sig_udf(F.col(vec_col))).alias("_t", "_sig"),
     )
+    if materialize:
+        keyed = keyed.localCheckpoint(eager=True)
     a = keyed.withColumnsRenamed({"_id": "id_a"})
     b = keyed.withColumnsRenamed({"_id": "id_b"})
-    return (
+    cands = (
         a.join(b, on=["_t", "_sig"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    if materialize:
+        cands = cands.localCheckpoint(eager=True)
+        keyed.unpersist()
+    return cands
 
 
 def embedding_near_dup_pairs(
@@ -221,12 +234,22 @@ def embedding_near_dup_pairs(
     if n_planes > 0:
         if dim is None:
             raise ValueError("dim required when n_planes > 0")
+        # materialize=True: the candidate list feeds two vector-attachment
+        # joins; lazy, each would re-run the signature UDF + bucket join
         cand = lsh_candidate_pairs(
-            df, dim, n_planes, n_tables, seed, vec_col=vec_col, id_col=id_col
+            df, dim, n_planes, n_tables, seed, vec_col=vec_col,
+            id_col=id_col, materialize=True,
         )
         joined = cand.join(va, on="id_a").join(vb, on="id_b")
-    else:
-        joined = va.join(vb, cond)
+        verified = (
+            joined.withColumn("cosine_sim", _batch_cos(F.col("_va"), F.col("_vb")))
+            .where(F.col("cosine_sim") >= float(threshold))
+            .select("id_a", "id_b", "cosine_sim")
+            .localCheckpoint(eager=True)
+        )
+        cand.unpersist()
+        return verified
+    joined = va.join(vb, cond)
     return (
         joined.withColumn("cosine_sim", _batch_cos(F.col("_va"), F.col("_vb")))
         .where(F.col("cosine_sim") >= float(threshold))
