@@ -459,19 +459,47 @@ def q_wt_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_wt_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same features/arithmetic as r05, with the token arrays HOISTED into
+    a first projection (the with_quality_features pattern): the raw
+    heuristic calls evaluated clean_tokens (split + per-token regex) four
+    times and tokens three times per row — HOF expressions get no CSE
+    (CLAUDE.md rule 1), and CollapseProject keeps a multiply-referenced
+    expensive alias materialized. A second layer hoists the derived
+    mean_word_length/n_words scalars reused by qc_flag. Every feature
+    reads the same arrays and folds the same ints, so the rounded doubles
+    are bit-identical to the unhoisted form (int/int divisions, rule 10)."""
     d = _t(spark, sf_dir, "documents")
-    return d.select(
+    toks, ct = F.col("_toks"), F.col("_ct")
+    total_len = F.aggregate(ct, F.lit(0), lambda acc, t: acc + F.length(t))
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    hoisted = d.select(
         "doc_id",
-        F.round(H.stopword_ratio("text", F.lit("en")), 6).alias("stopword_ratio"),
-        F.round(H.alpha_word_ratio("text"), 6).alias("alpha_word_ratio"),
-        F.round(H.mean_word_length("text"), 6).alias("mean_word_length"),
+        "text",
+        H.tokens("text").alias("_toks"),
+        H.clean_tokens("text").alias("_ct"),
+    ).select(
+        "doc_id",
+        "text",
+        F.col("_ct").alias("_ct"),
+        F.size(toks).alias("_nw"),
+        F.when(F.size(ct) > 0, total_len.cast("double") / F.size(ct)).alias(
+            "_mwl"
+        ),
+        F.when(F.size(toks) > 0, alpha.cast("double") / F.size(toks)).alias(
+            "_awr"
+        ),
+    )
+    nw, mwl = F.col("_nw"), F.col("_mwl")
+    return hoisted.select(
+        "doc_id",
+        F.round(
+            H.stopword_ratio("text", F.lit("en"), ct=F.col("_ct")), 6
+        ).alias("stopword_ratio"),
+        F.round(F.col("_awr"), 6).alias("alpha_word_ratio"),
+        F.round(mwl, 6).alias("mean_word_length"),
         F.round(H.dup_line_frac("text"), 6).alias("dup_line_frac"),
         F.when(
-            (H.n_words("text") < 30)
-            | (H.n_words("text") > 10000)
-            | (H.mean_word_length("text") < 2.5)
-            | (H.mean_word_length("text") > 12.0),
-            1,
+            (nw < 30) | (nw > 10000) | (mwl < 2.5) | (mwl > 12.0), 1
         )
         .otherwise(0)
         .alias("qc_flag"),

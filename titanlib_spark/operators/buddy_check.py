@@ -325,8 +325,15 @@ def buddy_check(
         df, F.when(is_invalid_value(F.col(value_col)), BAD).otherwise(GOOD), flag_col
     )
 
-    df = df.localCheckpoint(eager=True)
-    prev_bad = df.where(F.col(flag_col) != GOOD).count()
+    # iterating needs a flags snapshot per round (checkpoint) and a
+    # fixpoint count; a single iteration needs neither — the one-pass plan
+    # stays lazy (the input scan is recomputed by the stats branch, far
+    # cheaper than two eager checkpoints + two count jobs, rule 26), and
+    # the un-checkpointed stats side keeps its AQE size estimate
+    iterate = int(num_iterations) > 1
+    if iterate:
+        df = df.localCheckpoint(eager=True)
+        prev_bad = df.where(F.col(flag_col) != GOOD).count()
     for _ in range(int(num_iterations)):
         unflagged = df.where(F.col(flag_col) == GOOD)
         stats, join_on = _buddy_stats(
@@ -372,6 +379,9 @@ def buddy_check(
             joined, F.when(verdict, BAD).otherwise(GOOD), flag_col
         ).drop("_n_buddies", "_buddy_mean", "_buddy_var")
 
+        if not iterate:
+            df = new_df
+            break
         new_df = new_df.localCheckpoint(eager=True)
         # one count per round: carry the previous total
         n_bad = new_df.where(F.col(flag_col) != GOOD).count()

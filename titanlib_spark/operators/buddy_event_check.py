@@ -58,8 +58,12 @@ def buddy_event_check(
     )
     use_elev = elev_col is not None and max_elev_diff > 0
 
-    df = df.localCheckpoint(eager=True)
-    prev_bad = df.where(F.col(flag_col) != GOOD).count()
+    # single-iteration fast path: no flags snapshot / fixpoint count
+    # needed (see buddy_check — rule 26)
+    iterate = int(num_iterations) > 1
+    if iterate:
+        df = df.localCheckpoint(eager=True)
+        prev_bad = df.where(F.col(flag_col) != GOOD).count()
     for _ in range(int(num_iterations)):
         unflagged = df.where(F.col(flag_col) == GOOD)
         stats, join_on = _buddy_event_stats(
@@ -93,6 +97,9 @@ def buddy_event_check(
             joined, F.when(verdict, BAD).otherwise(GOOD), flag_col
         ).drop("_n_buddies", "_n_event")
 
+        if not iterate:
+            df = new_df
+            break
         new_df = new_df.localCheckpoint(eager=True)
         # one count per round: carry the previous total
         n_bad = new_df.where(F.col(flag_col) != GOOD).count()

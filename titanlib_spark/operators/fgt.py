@@ -66,8 +66,12 @@ def fgt(
     )
     sb = F.col(sigma_b) if isinstance(sigma_b, str) else F.lit(float(sigma_b))
 
-    df = df.localCheckpoint(eager=True)
-    prev_bad = df.where(F.col(flag_col) != GOOD).count()
+    # single-iteration fast path: no flags snapshot / fixpoint count
+    # needed (see buddy_check — rule 26)
+    iterate = int(num_iterations) > 1
+    if iterate:
+        df = df.localCheckpoint(eager=True)
+        prev_bad = df.where(F.col(flag_col) != GOOD).count()
     for _ in range(int(num_iterations)):
         good = df.where(F.col(flag_col) == GOOD)
         dev = F.abs(F.col(value_col) - F.col(bg_col))
@@ -164,6 +168,9 @@ def fgt(
             F.when(F.col("_fgt_bad") == 1, BAD).otherwise(GOOD),
             flag_col,
         ).drop("_fgt_bad")
+        if not iterate:
+            df = new_df
+            break
         new_df = new_df.localCheckpoint(eager=True)
         # one count per round: carry the previous total
         n_bad = new_df.where(F.col(flag_col) != GOOD).count()
