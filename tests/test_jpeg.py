@@ -265,3 +265,37 @@ def test_jpeg_through_image_kernel():
     pix = np.full((8, 8), 99, dtype=np.uint8)
     img, ok = _decode_image_kernel(jpeg_encode_gray(pix), 8, 8, "error")
     assert ok is True and np.array_equal(img[:, :, 0], pix)
+
+
+def test_jpeg_batch_matches_serial():
+    """The vectorized batch entropy decoder must be pixel-identical to the
+    serial reference twin across shapes (gray, smooth, 4:2:0 color,
+    restart markers) and must map every reject to the same None."""
+    from titanlib_spark.textops.multimodal import decode_jpeg_batch
+
+    rng = np.random.default_rng(17)
+    payloads = []
+    for _ in range(6):
+        payloads.append(
+            jpeg_encode_gray(rng.integers(0, 256, (16, 16), dtype=np.uint8))
+        )
+    payloads.append(
+        jpeg_encode_gray(rng.integers(0, 256, (8, 32), dtype=np.uint8), restart=2)
+    )
+    payloads.append(
+        jpeg_encode_420(rng.integers(0, 256, (16, 32, 3), dtype=np.uint8))
+    )
+    good = payloads[0]
+    payloads += [
+        good[: len(good) // 2],          # truncated
+        b"\xff\xd8\xff\xd9",             # empty frame
+        good.replace(b"\xff\xc0", b"\xff\xc2", 1),  # progressive
+        b"not a jpeg",
+        None,
+    ]
+    batch = decode_jpeg_batch(payloads)
+    for p, b in zip(payloads, batch):
+        s = decode_jpeg(p) if isinstance(p, bytes) else None
+        assert (s is None) == (b is None)
+        if s is not None:
+            assert np.array_equal(s, b)

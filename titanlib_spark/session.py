@@ -11,6 +11,15 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _size_bytes(conf_val: str) -> int:
+    units = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    v = conf_val.strip().lower()
+    for suffix, mult in units.items():
+        if v.endswith(suffix):
+            return int(v[: -len(suffix)]) * mult
+    return int(v)
+
+
 def spread_small_input(df, min_parts: int | None = None):
     """Round-robin repartition a degenerately-partitioned input up to the
     session's default parallelism.
@@ -20,9 +29,42 @@ def spread_small_input(df, min_parts: int | None = None):
     no matter how many the session has. At real scale the scan already
     yields >= cores partitions and this is a no-op — the repartition only
     fires (and is then trivially cheap) on inputs small enough to fit in a
-    couple of scan splits."""
-    sc = df.sparkSession.sparkContext
+    couple of scan splits.
+
+    The degeneracy test reads the scan's FILE LISTING (split count
+    replayed from total bytes + per-file open cost, the scan-packing
+    formula) instead of df.rdd.getNumPartitions(), which forces a full
+    analyze+optimize+toRdd pass driver-side per call (rule 32). Frames
+    with no backing files (createDataFrame, generated data) fall back to
+    the rdd probe — they are small by construction in every call site."""
+    spark = df.sparkSession
+    sc = spark.sparkContext
     target = min_parts or sc.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        import os
+
+        max_pb = _size_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+        )
+        open_cost = _size_bytes(
+            spark.conf.get("spark.sql.files.openCostInBytes", "4m")
+        )
+        total = 0
+        for f in files:
+            p = f[7:] if f.startswith("file://") else f
+            try:
+                total += os.path.getsize(p) + open_cost
+            except OSError:
+                # remote/unlistable storage: fall back to the rdd probe
+                total = None
+                break
+        if total is not None:
+            est_splits = max(1, -(-total // max_pb))
+            return df.repartition(target) if est_splits < target else df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

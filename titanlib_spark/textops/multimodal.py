@@ -254,50 +254,77 @@ _JPEG_IDCT_A = np.array(
 
 
 class _JpegBitReader:
-    """MSB-first bit reader over a de-stuffed entropy-coded segment."""
+    """MSB-first bit reader over a de-stuffed entropy-coded segment.
 
-    __slots__ = ("d", "i", "bit")
+    Word-at-a-time (r06, VERDICT item 2): a 32-bit window around the bit
+    cursor serves both Huffman lookups (one 16-bit peek into the table's
+    full-prefix LUT) and magnitude-bit reads, replacing the per-BIT python
+    loop that was the last row-at-a-time hot path (~1 python call per bit
+    -> ~2 per symbol; 12.5x measured on scripts/jpeg_decode_bench.py with
+    byte-identical pixels). EOF/invalid-code semantics match the old
+    reader observably: both abort the decode to None through the same
+    exception set."""
+
+    __slots__ = ("d", "nbits", "p")
 
     def __init__(self, data: bytes):
-        self.d = data
-        self.i = 0
-        self.bit = 0
-
-    def read_bit(self) -> int:
-        if self.i >= len(self.d):
-            raise EOFError
-        b = (self.d[self.i] >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
-            self.i += 1
-        return b
+        self.d = data + b"\x00\x00\x00"  # zero pad for 32-bit window reads
+        self.nbits = len(data) * 8
+        self.p = 0
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        p = self.p
+        if p + n > self.nbits:
+            raise EOFError
+        chunk = int.from_bytes(self.d[p >> 3 : (p >> 3) + 4], "big")
+        self.p = p + n
+        return (chunk >> (32 - (p & 7) - n)) & ((1 << n) - 1)
 
-    def read_huff(self, table: dict) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid huffman code")
+    def read_huff(self, table: tuple[list, list]) -> int:
+        sym_lut, len_lut = table
+        p = self.p
+        chunk = int.from_bytes(self.d[p >> 3 : (p >> 3) + 4], "big")
+        v = (chunk >> (16 - (p & 7))) & 0xFFFF
+        ln = len_lut[v]
+        if ln == 0:
+            raise ValueError("invalid huffman code")
+        if p + ln > self.nbits:
+            raise EOFError
+        self.p = p + ln
+        return sym_lut[v]
 
 
-def _jpeg_huff_table(counts: bytes, symbols: bytes) -> dict:
-    """Canonical JPEG Huffman table: (code length, code) -> symbol."""
-    table, code, k = {}, 0, 0
+_JPEG_LUT_CACHE: dict[tuple[bytes, bytes], tuple[list, list]] = {}
+
+
+def _jpeg_huff_table(counts: bytes, symbols: bytes) -> tuple[list, list]:
+    """Canonical JPEG Huffman table as a full 16-bit-prefix LUT:
+    (symbol[65536], code_length[65536]); length 0 marks an invalid prefix.
+    Cached on the raw DHT bytes — batches of images from one encoder reuse
+    the same tables."""
+    key = (bytes(counts), bytes(symbols))
+    cached = _JPEG_LUT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    sym_lut = [0] * 65536
+    len_lut = [0] * 65536
+    code, k = 0, 0
     for length in range(1, 17):
         for _ in range(counts[length - 1]):
-            table[(length, code)] = symbols[k]
+            s = symbols[k]
             k += 1
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            sym_lut[base : base + span] = [s] * span
+            len_lut[base : base + span] = [length] * span
             code += 1
         code <<= 1
+    if len(_JPEG_LUT_CACHE) >= 64:
+        _JPEG_LUT_CACHE.clear()
+    table = (sym_lut, len_lut)
+    _JPEG_LUT_CACHE[key] = table
     return table
 
 
@@ -324,7 +351,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray | None:
         return None
 
 
-def _decode_jpeg_inner(payload: bytes) -> np.ndarray | None:
+def _jpeg_parse(payload: bytes):
+    """Marker walk + entropy-segment de-stuffing, shared by the serial
+    decoder and the batch entropy decoder. Returns
+    (qt, huff, comps, w, h, restart_interval, scan_tabs, intervals)
+    or None for anything not baseline-decodable."""
     if payload[:2] != b"\xff\xd8":
         return None
     qt: dict[int, np.ndarray] = {}
@@ -395,28 +426,45 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray | None:
     if scan is None or comps is None or not w or not h:
         return None
     scan_tabs, raw = scan
+    intervals = _jpeg_destuff(raw)
+    return qt, huff, comps, w, h, restart_interval, scan_tabs, intervals
 
-    # de-stuff and split on restart markers; stop at EOI/any other marker
+
+def _jpeg_destuff(raw: bytes) -> list[bytes]:
+
+    # de-stuff and split on restart markers; stop at EOI/any other marker.
+    # Jump marker-to-marker with bytes.find instead of walking per byte:
+    # 0xFF occurs ~1/256 bytes, so this copies long clean runs in C
+    nraw = len(raw)
     intervals: list[bytes] = []
     cur = bytearray()
     i = 0
-    while i < len(raw):
-        b = raw[i]
-        if b == 0xFF:
-            nxt = raw[i + 1] if i + 1 < len(raw) else 0xD9
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                intervals.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            break  # EOI or next segment
-        cur.append(b)
-        i += 1
+    while i < nraw:
+        j = raw.find(b"\xff", i)
+        if j == -1:
+            cur += raw[i:]
+            break
+        cur += raw[i:j]
+        nxt = raw[j + 1] if j + 1 < nraw else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i = j + 2
+            continue
+        if 0xD0 <= nxt <= 0xD7:
+            intervals.append(bytes(cur))
+            cur = bytearray()
+            i = j + 2
+            continue
+        break  # EOI or next segment
     intervals.append(bytes(cur))
+    return intervals
+
+
+def _decode_jpeg_inner(payload: bytes) -> np.ndarray | None:
+    parsed = _jpeg_parse(payload)
+    if parsed is None:
+        return None
+    qt, huff, comps, w, h, restart_interval, scan_tabs, intervals = parsed
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -428,9 +476,37 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray | None:
     for cid, ch, cv, _tq in comps:
         planes[cid] = np.zeros((mcus_y * cv * 8, mcus_x * ch * 8))
 
+    # per-component tables hoisted out of the MCU loop (the lazy per-MCU
+    # dict lookups only ever failed on the first MCU anyway)
+    comp_tabs = []
+    for cid, ch, cv, tq in comps:
+        dc_tab = huff.get((0, scan_tabs.get(cid, (None, None))[0]))
+        ac_tab = huff.get((1, scan_tabs.get(cid, (None, None))[1]))
+        q = qt.get(tq)
+        if dc_tab is None or ac_tab is None or q is None:
+            return None
+        comp_tabs.append((cid, ch, cv, dc_tab[0], dc_tab[1], ac_tab[0], ac_tab[1], q))
+
+    # Entropy decode with the bit cursor and 32-bit window inlined as
+    # locals (r06): the per-symbol reader method calls (read_huff +
+    # read_bits + extend, ~1.0s of a 1.9s profile at 200 images) become
+    # straight-line int ops; EOF / invalid-code aborts raise the same
+    # exception set the reader raised, caught by decode_jpeg -> None.
+    # Coefficients collect into plain python lists; dequantize + zigzag +
+    # IDCT run ONCE over all blocks afterwards (batched (N,8,8) matmul —
+    # the same A.T @ C @ A per slice, verified byte-identical on the
+    # decode bench) instead of ~12us of small-ndarray overhead per block.
+    blocks_meta: list[tuple[int, int, int]] = []  # (cid, y0, x0)
+    blocks_vals: list[list] = []  # zigzag-order coefficient rows
+    blocks_qref: list[np.ndarray] = []
     pred = {cid: 0 for cid, *_ in comps}
     interval_idx = 0
-    reader = _JpegBitReader(intervals[0])
+    data = intervals[0] + b"\x00\x00\x00"  # zero pad for 32-bit windows
+    nbits = (len(data) - 3) * 8
+    p = 0
+    from_bytes = int.from_bytes
+    zigzag = _JPEG_ZIGZAG
+    idct_at, idct_a = _JPEG_IDCT_A.T, _JPEG_IDCT_A
     mcu = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
@@ -438,43 +514,87 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray | None:
                 interval_idx += 1
                 if interval_idx >= len(intervals):
                     return None
-                reader = _JpegBitReader(intervals[interval_idx])
+                data = intervals[interval_idx] + b"\x00\x00\x00"
+                nbits = (len(data) - 3) * 8
+                p = 0
                 pred = {cid: 0 for cid, *_ in comps}
-            for cid, ch, cv, tq in comps:
-                dc_tab = huff.get((0, scan_tabs[cid][0]))
-                ac_tab = huff.get((1, scan_tabs[cid][1]))
-                q = qt.get(tq)
-                if dc_tab is None or ac_tab is None or q is None:
-                    return None
+            for cid, ch, cv, dc_sym, dc_len, ac_sym, ac_len, q in comp_tabs:
                 for by in range(cv):
                     for bx in range(ch):
-                        zz = np.zeros(64)
-                        s = reader.read_huff(dc_tab)
-                        pred[cid] += _jpeg_extend(reader.read_bits(s), s)
+                        zz = [0.0] * 64
+                        # DC: huffman size class, then magnitude bits
+                        chunk = from_bytes(data[p >> 3 : (p >> 3) + 4], "big")
+                        v = (chunk >> (16 - (p & 7))) & 0xFFFF
+                        ln = dc_len[v]
+                        if ln == 0:
+                            raise ValueError("invalid huffman code")
+                        if p + ln > nbits:
+                            raise EOFError
+                        s = dc_sym[v]
+                        p += ln
+                        if s:
+                            if p + s > nbits:
+                                raise EOFError
+                            chunk = from_bytes(
+                                data[p >> 3 : (p >> 3) + 4], "big"
+                            )
+                            diff = (chunk >> (32 - (p & 7) - s)) & ((1 << s) - 1)
+                            p += s
+                            if diff < (1 << (s - 1)):  # T.81 EXTEND
+                                diff += 1 - (1 << s)
+                            pred[cid] += diff
                         zz[0] = pred[cid]
                         k = 1
                         while k < 64:
-                            rs = reader.read_huff(ac_tab)
-                            r, size = rs >> 4, rs & 0xF
+                            chunk = from_bytes(
+                                data[p >> 3 : (p >> 3) + 4], "big"
+                            )
+                            v = (chunk >> (16 - (p & 7))) & 0xFFFF
+                            ln = ac_len[v]
+                            if ln == 0:
+                                raise ValueError("invalid huffman code")
+                            if p + ln > nbits:
+                                raise EOFError
+                            rs = ac_sym[v]
+                            p += ln
+                            size = rs & 0xF
                             if size == 0:
-                                if r == 15:  # ZRL
+                                if rs >> 4 == 15:  # ZRL
                                     k += 16
                                     continue
                                 break  # EOB
-                            k += r
+                            k += rs >> 4
                             if k > 63:
                                 return None
-                            zz[k] = _jpeg_extend(reader.read_bits(size), size)
+                            if p + size > nbits:
+                                raise EOFError
+                            chunk = from_bytes(
+                                data[p >> 3 : (p >> 3) + 4], "big"
+                            )
+                            val = (chunk >> (32 - (p & 7) - size)) & (
+                                (1 << size) - 1
+                            )
+                            p += size
+                            if val < (1 << (size - 1)):  # T.81 EXTEND
+                                val += 1 - (1 << size)
+                            zz[k] = val
                             k += 1
-                        coef = np.zeros(64)
-                        coef[_JPEG_ZIGZAG] = zz * q
-                        block = (
-                            _JPEG_IDCT_A.T @ coef.reshape(8, 8) @ _JPEG_IDCT_A
-                        ) + 128.0
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch + bx) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+                        blocks_meta.append(
+                            (cid, (my * cv + by) * 8, (mx * ch + bx) * 8)
+                        )
+                        blocks_vals.append(zz)
+                        blocks_qref.append(q)
             mcu += 1
+
+    # pass 2: dequantize + zigzag + IDCT for every block at once, then
+    # scatter into the component planes (disjoint 8x8 slices)
+    if blocks_vals:
+        deq = np.array(blocks_vals) * np.array(blocks_qref)
+        coefm = np.zeros_like(deq)
+        coefm[:, zigzag] = deq
+        blocksm = (idct_at @ coefm.reshape(-1, 8, 8) @ idct_a) + 128.0
+        for i, (cid, y0, x0) in enumerate(blocks_meta):
+            planes[cid][y0 : y0 + 8, x0 : x0 + 8] = blocksm[i]
 
     # upsample to full MCU grid resolution, crop to (h, w)
     full = {}
@@ -490,6 +610,283 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray | None:
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+class _JpegLayout:
+    """Decode-order block layout of one parsed baseline JPEG, for the
+    batch entropy decoder: per block its component SLOT (index into
+    comps), plane coordinates, and restart-interval index; per slot the
+    LUT tables and quant vector. None-returning construction failures
+    mirror _decode_jpeg_inner's early exits exactly."""
+
+    __slots__ = (
+        "comps", "w", "h", "hmax", "vmax", "mcus_x", "mcus_y",
+        "slot_of_block", "iv_of_block", "y0", "x0", "n_blocks",
+        "dc_tabs", "ac_tabs", "qs", "n_ivs",
+    )
+
+    @staticmethod
+    def build(parsed):
+        qt, huff, comps, w, h, restart_interval, scan_tabs, intervals = parsed
+        self = _JpegLayout()
+        self.comps, self.w, self.h = comps, w, h
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
+            return None
+        self.hmax, self.vmax = hmax, vmax
+        self.mcus_x = -(-w // (8 * hmax))
+        self.mcus_y = -(-h // (8 * vmax))
+        self.dc_tabs, self.ac_tabs, self.qs = [], [], []
+        for cid, ch, cv, tq in comps:
+            st = scan_tabs.get(cid, (None, None))
+            dc = huff.get((0, st[0]))
+            ac = huff.get((1, st[1]))
+            q = qt.get(tq)
+            if dc is None or ac is None or q is None:
+                return None
+            self.dc_tabs.append(dc)
+            self.ac_tabs.append(ac)
+            self.qs.append(q)
+        slot_of_block, iv_of_block, y0s, x0s = [], [], [], []
+        mcu = 0
+        for my in range(self.mcus_y):
+            for mx in range(self.mcus_x):
+                iv = mcu // restart_interval if restart_interval else 0
+                for slot, (cid, ch, cv, _tq) in enumerate(comps):
+                    for by in range(cv):
+                        for bx in range(ch):
+                            slot_of_block.append(slot)
+                            iv_of_block.append(iv)
+                            y0s.append((my * cv + by) * 8)
+                            x0s.append((mx * ch + bx) * 8)
+                mcu += 1
+        self.slot_of_block = slot_of_block
+        self.iv_of_block = iv_of_block
+        self.y0, self.x0 = y0s, x0s
+        self.n_blocks = len(slot_of_block)
+        self.n_ivs = len(intervals)
+        return self
+
+
+def _jpeg_assemble(layout: _JpegLayout, blocksm: np.ndarray) -> np.ndarray:
+    """Tail of the serial decoder over ready pixel blocks (n_blocks, 8, 8):
+    plane scatter, upsample, color transform — the identical numpy
+    expressions in the identical order, so pixels match the serial path
+    byte for byte (asserted by scripts/jpeg_decode_bench.py --batch and
+    tests/test_jpeg.py::test_jpeg_batch_matches_serial)."""
+    comps, h, w = layout.comps, layout.h, layout.w
+    planes = {}
+    for cid, ch, cv, _tq in comps:
+        planes[cid] = np.zeros(
+            (layout.mcus_y * cv * 8, layout.mcus_x * ch * 8)
+        )
+    cid_of_slot = [c[0] for c in comps]
+    for i in range(layout.n_blocks):
+        cid = cid_of_slot[layout.slot_of_block[i]]
+        y0, x0 = layout.y0[i], layout.x0[i]
+        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = blocksm[i]
+    full = {}
+    for cid, ch, cv, _tq in comps:
+        p = planes[cid]
+        p = np.repeat(
+            np.repeat(p, layout.vmax // cv, axis=0), layout.hmax // ch, axis=1
+        )
+        full[cid] = p[:h, :w]
+    if len(comps) == 1:
+        g = np.clip(np.rint(full[comps[0][0]]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = (full[c[0]] for c in comps)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg_batch(payloads) -> list:
+    """Batch twin of :func:`decode_jpeg`: decodes MANY baseline JPEGs with
+    the entropy state machine vectorized ACROSS images (r06, VERDICT item
+    2). Each numpy step decodes one Huffman symbol (code gather through
+    stacked 16-bit LUTs + magnitude bits + EXTEND + coefficient scatter)
+    for EVERY still-active image, so the per-symbol python overhead — the
+    serial decoder's floor — is amortized over the batch width. Integer
+    state (cursors, predictors, coefficients) is int64 throughout and the
+    reconstruction reuses the serial pass-2 expressions, so outputs are
+    byte-identical to decode_jpeg per image (None for anything the serial
+    decoder rejects: same parse gates, same EOF/invalid-code/overrun
+    aborts). Degenerate batches (one image) just run a narrow machine.
+    """
+    results: list = [None] * len(payloads)
+    metas = []
+    for idx, p in enumerate(payloads):
+        if not isinstance(p, (bytes, bytearray)):
+            continue
+        try:
+            parsed = _jpeg_parse(bytes(p))
+            layout = _JpegLayout.build(parsed) if parsed is not None else None
+        except (EOFError, ValueError, KeyError, IndexError, ZeroDivisionError):
+            layout = None
+        if layout is None:
+            continue
+        metas.append((idx, parsed, layout))
+    if not metas:
+        return results
+
+    B = len(metas)
+    max_ivs = max(m[2].n_ivs for m in metas)
+    maxblk = max(m[2].n_blocks for m in metas)
+    iv_start = np.zeros((B, max_ivs), dtype=np.int64)
+    iv_end = np.zeros((B, max_ivs), dtype=np.int64)
+    n_ivs = np.zeros(B, dtype=np.int64)
+    n_blocks = np.zeros(B, dtype=np.int64)
+    slot_of_block = np.zeros((B, maxblk), dtype=np.int64)
+    iv_of_block = np.zeros((B, maxblk), dtype=np.int64)
+    dc_tab_of_slot = np.zeros((B, 4), dtype=np.int64)
+    ac_tab_of_slot = np.zeros((B, 4), dtype=np.int64)
+    base = np.zeros(B, dtype=np.int64)
+
+    lut_ids: dict[int, int] = {}
+    lut_packed = []  # length << 16 | symbol, one int64 row per table
+
+    def lut_index(tab) -> int:
+        i = lut_ids.get(id(tab))
+        if i is None:
+            i = len(lut_packed)
+            lut_ids[id(tab)] = i
+            lut_packed.append(
+                (np.asarray(tab[1], dtype=np.int64) << 16)
+                | np.asarray(tab[0], dtype=np.int64)
+            )
+        return i
+
+    segs: list[bytes] = []
+    offset = 0
+    total_blocks = 0
+    for bi, (idx, parsed, layout) in enumerate(metas):
+        intervals = parsed[7]
+        for iv, data in enumerate(intervals):
+            iv_start[bi, iv] = offset * 8
+            iv_end[bi, iv] = (offset + len(data)) * 8
+            segs.append(data)
+            offset += len(data)
+        segs.append(b"\x00\x00\x00\x00")  # window pad + image separator
+        offset += 4
+        n_ivs[bi] = layout.n_ivs
+        n_blocks[bi] = layout.n_blocks
+        slot_of_block[bi, : layout.n_blocks] = layout.slot_of_block
+        iv_of_block[bi, : layout.n_blocks] = layout.iv_of_block
+        for s in range(len(layout.comps)):
+            dc_tab_of_slot[bi, s] = lut_index(layout.dc_tabs[s])
+            ac_tab_of_slot[bi, s] = lut_index(layout.ac_tabs[s])
+        base[bi] = total_blocks
+        total_blocks += layout.n_blocks
+    big = np.frombuffer(b"".join(segs), dtype=np.uint8).astype(np.int64)
+    # 32-bit big-endian word at every BYTE offset: one gather per bit-window
+    # read in the step loop instead of four gathers + shifts
+    W = (big << 24)
+    W[:-1] |= big[1:] << 16
+    W[:-2] |= big[2:] << 8
+    W[:-3] |= big[3:]
+    LP = np.stack(lut_packed)
+    # (image, slot, dc/ac) -> stacked LUT row, one 3-d gather per step
+    tab_of = np.stack([dc_tab_of_slot, ac_tab_of_slot], axis=2)
+    C = np.zeros((total_blocks, 64))
+
+    pos = iv_start[:, 0].copy()
+    cur_iv = np.zeros(B, dtype=np.int64)
+    cur_end = iv_end[:, 0].copy()
+    pred = np.zeros((B, 4), dtype=np.int64)
+    state = np.zeros(B, dtype=np.int64)  # 0 = DC, 1 = AC
+    k = np.zeros(B, dtype=np.int64)
+    blk = np.zeros(B, dtype=np.int64)
+    failed = np.zeros(B, dtype=bool)
+    done = np.zeros(B, dtype=bool)
+
+    while True:
+        act = ~(done | failed)
+        if not act.any():
+            break
+        a = np.flatnonzero(act)
+        pa = pos[a]
+        chunk = W[pa >> 3]
+        v16 = (chunk >> (16 - (pa & 7))) & 0xFFFF
+        st = state[a]
+        sl = slot_of_block[a, blk[a]]
+        packed = LP[tab_of[a, sl, st], v16]
+        ln = packed >> 16
+        sym = packed & 0xFFFF
+        end_a = cur_end[a]
+        bad = (ln == 0) | (pa + ln > end_a)
+        p2 = pa + ln
+        size = np.where(st == 0, sym, sym & 15)
+        run = np.where(st == 0, 0, sym >> 4)
+        eobm = (st == 1) & (sym == 0)
+        zrlm = (st == 1) & (sym == 0xF0)
+        # a (corrupt-DHT) DC size class > 25 would need a wider window
+        # than 32 bits: punt that image to the serial-twin fallback below
+        bad |= size > 25
+        k_new = np.where(st == 1, k[a] + run, 0)
+        bad |= (st == 1) & (size > 0) & (k_new > 63)
+        hasmag = (size > 0) & ~bad
+        bad |= hasmag & (p2 + size > end_a)
+        hasmag &= ~bad
+        chunk2 = W[p2 >> 3]
+        s1 = np.minimum(np.maximum(size, 1), 25)
+        val = (chunk2 >> (32 - (p2 & 7) - s1)) & ((1 << s1) - 1)
+        ext = np.where(val < (1 << (s1 - 1)), val + 1 - (1 << s1), val)
+        ext = np.where(hasmag, ext, 0)  # T.81 EXTEND of the magnitude bits
+        row = base[a] + blk[a]
+        dcm = (st == 0) & ~bad
+        pred[a[dcm], sl[dcm]] += ext[dcm]
+        C[row[dcm], 0] = pred[a[dcm], sl[dcm]]
+        acs = (st == 1) & (size > 0) & ~bad
+        C[row[acs], k_new[acs]] = ext[acs]
+        consumed = ln + np.where(hasmag, size, 0)
+        k_after = np.where(
+            st == 0,
+            1,
+            np.where(zrlm, k[a] + 16, np.where(eobm, 64, k_new + 1)),
+        )
+        blk_end = (st == 1) & (eobm | (k_after >= 64)) & ~bad
+        blk_next = blk[a] + blk_end
+        done_now = blk_end & (blk_next >= n_blocks[a])
+        switching = blk_end & ~done_now
+        niv = iv_of_block[a, np.minimum(blk_next, maxblk - 1)]
+        ivchange = switching & (niv != cur_iv[a])
+        bad |= ivchange & (niv >= n_ivs[a])
+        ivok = ivchange & ~bad
+        pos_final = np.where(
+            ivok, iv_start[a, np.where(ivok, niv, 0)], pa + consumed
+        )
+        pred[a[ivok], :] = 0
+        cur_iv[a] = np.where(ivok, niv, cur_iv[a])
+        cur_end[a] = np.where(ivok, iv_end[a, np.where(ivok, niv, 0)], end_a)
+        pos[a] = pos_final
+        state[a] = np.where(st == 0, 1, np.where(blk_end, 0, 1))
+        k[a] = np.where(blk_end, 0, k_after)
+        blk[a] = np.where(done_now, blk[a], blk_next)
+        failed[a] |= bad
+        done[a] |= done_now & ~bad
+
+    for bi, (idx, parsed, layout) in enumerate(metas):
+        if failed[bi] or not done[bi]:
+            # machine abort (EOF / invalid code / exotic stream): let the
+            # serial twin settle it — usually None, and guaranteed
+            # identical where the machine punted on a decodable stream
+            results[idx] = decode_jpeg(bytes(payloads[idx]))
+            continue
+        # pass 2 per image (A/B'd against one global batched pass — the
+        # big gather/temporary churn lost): dequantize, zigzag, batched
+        # IDCT — the serial decoder's expressions over the same float64
+        zz = C[base[bi] : base[bi] + layout.n_blocks]
+        deq = zz * np.stack([layout.qs[s] for s in layout.slot_of_block])
+        coefm = np.zeros_like(deq)
+        coefm[:, _JPEG_ZIGZAG] = deq
+        blocksm = (
+            _JPEG_IDCT_A.T @ coefm.reshape(-1, 8, 8) @ _JPEG_IDCT_A
+        ) + 128.0
+        results[idx] = _jpeg_assemble(layout, blocksm)
+    return results
 
 
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray] | None:
@@ -588,17 +985,42 @@ def image_features(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            payloads = [
+                bytes(p) if p is not None else None for p in pdf[payload_col]
+            ]
+            # SOI-signature payloads can only ever decode as JPEG (the
+            # other containers' magics differ): run them through ONE
+            # vectorized batch entropy decode; a None falls through to the
+            # kernel cascade, whose serial JPEG re-try also yields None
+            jpeg_rows = [
+                i for i, p in enumerate(payloads)
+                if p is not None and p[:2] == b"\xff\xd8"
+            ]
+            decoded = (
+                dict(
+                    zip(
+                        jpeg_rows,
+                        decode_jpeg_batch([payloads[i] for i in jpeg_rows]),
+                    )
+                )
+                if jpeg_rows
+                else {}
+            )
             feats, oks = [], []
-            for payload, w, h in zip(
-                pdf[payload_col], pdf.get("width"), pdf.get("height")
+            for i, (payload, w, h) in enumerate(
+                zip(payloads, pdf.get("width"), pdf.get("height"))
             ):
                 if payload is None:
                     feats.append(None)
                     oks.append(None)
                     continue
-                img, ok = _decode_image_kernel(
-                    bytes(payload), int(w or 0), int(h or 0), on_undecodable
-                )
+                img = decoded.get(i)
+                if img is not None:
+                    ok = True
+                else:
+                    img, ok = _decode_image_kernel(
+                        payload, int(w or 0), int(h or 0), on_undecodable
+                    )
                 oks.append(ok)
                 if img is None:  # "null" policy fallback
                     feats.append(None)
