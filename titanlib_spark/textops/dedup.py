@@ -211,14 +211,20 @@ def minhash_lsh_candidates(
     )
     if materialize:
         banded = banded.localCheckpoint(eager=True)
-    # bucket-size cap via groupBy+join-back, NOT a window count: the
-    # partial (map-side) aggregation keeps a degenerate bucket cheap, and
-    # AQE's skew-join can split the join's hot partition — WindowExec
-    # would buffer the whole pathological bucket in one task instead
+    # bucket-size cap via a BROADCAST anti-join against the OVERSIZED
+    # buckets only (was: inner join with the full per-bucket count
+    # table, a second full shuffle of banded). Oversized buckets number
+    # at most n_rows / max_bucket — 0.1% of banded at the default cap —
+    # so the broadcast is bounded by construction at any scale; the
+    # count aggregation itself stays map-side-combined (cheap even for a
+    # degenerate bucket, unlike a window count, which would buffer the
+    # whole pathological bucket in one task)
     counts = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_c"))
     capped = banded.join(
-        counts.where(F.col("_c") <= max_bucket), on=["band", "bucket"]
-    ).drop("_c")
+        F.broadcast(counts.where(F.col("_c") > max_bucket).drop("_c")),
+        on=["band", "bucket"],
+        how="left_anti",
+    )
     a = capped.alias("a")
     b = capped.alias("b")
     cands = (
@@ -569,20 +575,22 @@ def ngram_jaccard_pairs_lsh(
         # asNondeterministic: the isNotNull filter below otherwise makes
         # the optimizer evaluate the UDF once below the pushed filter and
         # AGAIN in the projection (guide-§4.4 duplication; measured 9-11s
-        # vs 1.1s at 50k docs)
+        # vs 1.1s at 50k docs). No sigs checkpoint: the banded checkpoint
+        # inside minhash_lsh_candidates is this plan's ONLY consumer of
+        # the signature column, so the UDF pass materializes exactly once
+        # there (the ngram path never needs the raw signature again)
         sig_udf = word_ngram_minhash_udf(n, num_hashes).asNondeterministic()
         sigs = (
             spread_small_input(df)
             .select(F.col(id_col), sig_udf(F.col(text_col)).alias("minhash"))
             .where(F.col("minhash").isNotNull())
-            .localCheckpoint(eager=True)
         )
     else:
         sigs = minhash_signatures(
             spread_small_input(df), text_col, num_hashes, id_col=id_col,
             hash_fn=hash_fn, gram_fn=lambda t: word_ngrams(t, n),
             signatures_only=True,
-        ).localCheckpoint(eager=True)
+        )
     # materialize=True: checkpoints banded once inside and returns the
     # bounded candidate list as an eager checkpoint — it fans out to THREE
     # consumers below (the id semi-join + both verify attachments)
@@ -623,7 +631,6 @@ def ngram_jaccard_pairs_lsh(
         .select("id_a", "id_b", "jaccard")
         .localCheckpoint(eager=True)
     )
-    sigs.unpersist()
     cands.unpersist()
     cand_grams.unpersist()
     return pairs
