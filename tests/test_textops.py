@@ -654,3 +654,48 @@ def test_png_decoder_all_filters_and_color_types(spark):
     bands = np.array_split(rgb, 3, axis=0)
     expected = [float(b.mean(dtype=np.float64)) / 255.0 for b in bands]
     assert np.allclose(row.feature, np.array(expected, dtype=np.float32))
+
+
+def test_png_hostile_payloads_degrade_to_none():
+    """ADVICE r05 hardening: corrupt palette indices, dimension bombs and
+    decompression bombs must yield None (decode_ok=false path), never an
+    IndexError/OOM crash."""
+    import struct
+    import zlib
+
+    from titanlib_spark.textops.multimodal import decode_jpeg, decode_png
+
+    rng = np.random.default_rng(5)
+    # palette PNG whose indices exceed the PLTE size
+    pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    idx = np.full((5, 5), 9, dtype=np.uint8)  # index 9 >= 4 entries
+    assert decode_png(_png_encode(idx, 3, [0], palette=pal)) is None
+
+    # PNG dimension bomb: ~100-byte payload declaring 65535 x 65535
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + cid + body
+                + struct.pack(">I", zlib.crc32(cid + body)))
+
+    ihdr = struct.pack(">IIBBBBB", 65535, 65535, 8, 2, 0, 0, 0)
+    bomb = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+            + chunk(b"IEND", b""))
+    assert decode_png(bomb) is None
+
+    # PNG decompression bomb: valid small dims, IDAT inflating way past
+    # the declared raster — must reject without inflating it all
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    over = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 10_000_000))
+            + chunk(b"IEND", b""))
+    assert decode_png(over) is None
+
+    # JPEG dimension bomb: SOF0 declaring 65535 x 65535
+    from test_jpeg import jpeg_encode_gray
+
+    pix = np.full((8, 8), 50, dtype=np.uint8)
+    good = jpeg_encode_gray(pix)
+    sof = good.find(b"\xff\xc0")
+    bomb_j = bytearray(good)
+    bomb_j[sof + 5 : sof + 9] = (65535).to_bytes(2, "big") * 2
+    assert decode_jpeg(bytes(bomb_j)) is None

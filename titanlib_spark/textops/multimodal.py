@@ -163,6 +163,15 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray 
     return out.astype(np.uint8)
 
 
+# dimension-bomb ceiling for the compressed-raster decoders (PNG/JPEG):
+# header dimensions are attacker-controlled and are read before any
+# raster data is validated; a ~100-byte payload declaring 65535x65535
+# would otherwise demand ~34GB per plane (ADVICE r05). 40 MPix covers
+# any realistic web asset; oversized claims take the documented
+# None / decode_ok=false path.
+_MAX_DECODE_PIXELS = 40_000_000
+
+
 def decode_png(payload: bytes) -> np.ndarray | None:
     """Real decoder for non-interlaced 8-bit-depth PNG (gray, gray+alpha,
     RGB, RGBA, and palette color types): stdlib zlib inflate + numpy
@@ -205,13 +214,28 @@ def decode_png(payload: bytes) -> np.ndarray | None:
         return None
     if ctype not in _PNG_CHANNELS or (ctype == 3 and palette is None):
         return None
+    # dimension bomb guard (ADVICE r05): IHDR w/h are attacker-controlled
+    # and were trusted before any raster byte existed — a ~100-byte
+    # payload declaring 2^31 pixels would demand GBs per plane. Web-QC
+    # thumbnails sit far below this cap; oversized claims degrade to the
+    # documented None / decode_ok=false path
     ch = _PNG_CHANNELS[ctype]
+    if w * h > _MAX_DECODE_PIXELS:
+        return None
     stride = w * ch
     try:
-        raw = zlib.decompress(bytes(idat))
+        # inflate with an output cap tied to the declared raster size
+        # (decompression-bomb guard, ADVICE r05): a stream longer than
+        # h*(1+stride) is invalid anyway, so max_length changes no
+        # decodable payload's result. Outcome parity with the old
+        # whole-buffer zlib.decompress (A/B'd): valid -> eof at exact
+        # size; truncated -> eof False (was Error -5); trailing garbage
+        # after stream end -> eof True, same accept; bomb -> size mismatch
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), h * (1 + stride) + 1)
     except zlib.error:
         return None
-    if len(raw) != h * (1 + stride):
+    if len(raw) != h * (1 + stride) or not d.eof:
         return None
     img = _png_unfilter(np.frombuffer(raw, dtype=np.uint8), h, stride, ch)
     if img is None:
@@ -222,6 +246,11 @@ def decode_png(payload: bytes) -> np.ndarray | None:
     if ctype == 2:  # rgb
         return img.copy()
     if ctype == 3:  # palette
+        if int(img[:, :, 0].max()) >= len(palette):
+            # corrupt/hostile payload: indices past the PLTE must degrade
+            # to the documented None / decode_ok=false path, not crash the
+            # job with an IndexError (ADVICE r05)
+            return None
         return palette[img[:, :, 0]].copy()
     if ctype == 4:  # gray + alpha
         return np.repeat(img[:, :, :1], 3, axis=2).copy()
@@ -424,6 +453,8 @@ def _jpeg_parse(payload: bytes):
             break
         pos += 2 + seglen
     if scan is None or comps is None or not w or not h:
+        return None
+    if w * h > _MAX_DECODE_PIXELS:  # dimension bomb (ADVICE r05)
         return None
     scan_tabs, raw = scan
     intervals = _jpeg_destuff(raw)
