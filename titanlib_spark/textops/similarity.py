@@ -155,8 +155,14 @@ def lsh_candidate_pairs(
     the keyed blocks before returning: both self-join sides otherwise
     re-run the signature UDF (and everything upstream of `df`) per
     branch."""
+    from titanlib_spark.session import spread_small_input
+
     sig_udf = _table_signatures_udf(dim, n_planes, n_tables, seed)
-    keyed = df.select(
+    # rule 29: a small parquet-backed vector table scans as 1-2 partitions
+    # and would serialize the signature UDF onto 1-2 cores; spreading ONLY
+    # the UDF input (not the table, which feeds the verify branches too)
+    # costs one slim exchange and is a no-op on well-partitioned inputs
+    keyed = spread_small_input(df.select(id_col, vec_col)).select(
         F.col(id_col).alias("_id"),
         F.posexplode(sig_udf(F.col(vec_col))).alias("_t", "_sig"),
     )
