@@ -32,10 +32,13 @@ import duckdb
 import numpy as np
 
 SRC = "/root/testdata/sf0.1"
-COPIES = 10
-N_DOCS = 50_000
-N_VECS = 20_000
-N_CLONES = 2_000
+# scale knobs (env): COPIES=100 / DOCS=500000 / VECS=200000 approximates a
+# driver-escalated sf10 (pass an outdir like /tmp/sf10.0 so bench.py's
+# sf-from-dirname parse records it honestly)
+COPIES = int(os.environ.get("REPLICA_COPIES", "10"))
+N_DOCS = int(os.environ.get("REPLICA_DOCS", "50000"))
+N_VECS = int(os.environ.get("REPLICA_VECS", "20000"))
+N_CLONES = N_VECS // 10
 SEED = 1234
 
 
