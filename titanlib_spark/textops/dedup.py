@@ -178,27 +178,55 @@ def minhash_lsh_candidates(
     max_bucket: int = 1000,
     hash_fn: str = "xxhash64",
     materialize: bool = False,
+    pair_gen: str = "join",
 ) -> DataFrame:
     """Candidate pairs (a < b) sharing at least one LSH band bucket.
 
     Signature of length k is cut into `bands` rows-per-band groups; a band's
-    bucket key is the hash of its slice (hash_fn="md5": the slice string
-    itself — trivially oracle-equal, slightly wider shuffle rows). Pairs are
-    generated inside buckets with a self-join on the bucket key; buckets
-    larger than `max_bucket` are dropped (degenerate content, e.g.
-    boilerplate — the reference's num_max truncation applied to LSH).
+    bucket key is the hash of its slice (hash_fn="md5": the raw int-array
+    slice itself — array equality IS slice equality, so the grouping is
+    bit-identical to the comma-joined string the DuckDB twin groups on,
+    without building 80-byte strings into three 8M-row shuffles; measured
+    r06 sf10: banded checkpoint 9.0->7.2s, count shuffle 2.0->1.4s).
+    Buckets larger than `max_bucket` are dropped FIRST via the broadcast
+    anti-join (degenerate content, e.g. boilerplate — the reference's
+    num_max truncation applied to LSH).
+
+    `pair_gen` picks how pairs come out of the capped buckets:
+
+    - "join" (default): the a×b self-join on the bucket key. Its origin
+      size estimate is a join-blowup (~TiB at 50k docs), so when the
+      materialized result enters a later UNHINTED join, the planner
+      correctly refuses to broadcast it — the scale-safe default for
+      callers like :func:`minhash_lsh_dedup` whose verify joins rely on
+      stats (rule-40 hazard below).
+    - "explode": groupBy bucket → sorted collect_list (every list <=
+      max_bucket by the anti-join, so no pathological collect buffer) →
+      nested-explode i<j enumeration. One shuffle of capped instead of
+      the self-join's two: candidate stage 16.5 → 8.3s at 500k docs,
+      identical pair set (A/B: byte-equal at sf0.01/sf0.1/sf1-replica in
+      both hash modes, incl. a 15,417,234-pair dense case; i<j over a
+      sort_array'd list IS a<b within equal keys — sort_array uses the
+      id type's natural ordering, the old join's comparator). CAVEAT
+      (CLAUDE.md rule 40): Spark 4 checkpoints carry the PRE-checkpoint
+      plan's size ESTIMATE as stats, and the Generate/aggregate chain
+      here estimates ~KiB for what is really ~GiB of pairs — an unhinted
+      downstream join will happily broadcast the pair frame (measured:
+      verify stage 2.4 → 13.7s at 15.4M pairs; OOM at scale). Only use
+      from callers that pin every downstream join strategy explicitly
+      (ngram_jaccard_pairs_lsh does).
 
     `materialize=True` checkpoints the banded frame once and returns an
     EAGER checkpoint of the candidate list, unpersisting the banded blocks
     before returning: the banded frame feeds three plan branches (bucket
-    counts + both self-join sides), each of which re-runs the banding —
+    counts + both pair-gen consumers), each of which re-runs the banding —
     and everything upstream of `df` — when left lazy. Use it whenever `df`
     is not already a materialized frame."""
     sig = F.col(sig_col)
     k = F.size(sig)
     r = (k / bands).cast("int")
     if hash_fn == "md5":
-        bucket_of = lambda b: F.concat_ws(",", F.slice(sig, b * r + 1, r))
+        bucket_of = lambda b: F.slice(sig, b * r + 1, r)
     else:
         bucket_of = lambda b: F.xxhash64(
             F.concat_ws(",", F.slice(sig, b * r + 1, r)), b.cast("string")
@@ -225,20 +253,46 @@ def minhash_lsh_candidates(
         on=["band", "bucket"],
         how="left_anti",
     )
-    a = capped.alias("a")
-    b = capped.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col(f"a.band") == F.col(f"b.band"))
-            & (F.col(f"a.bucket") == F.col(f"b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    if pair_gen == "explode":
+        # nested explodes, not interpreted HOF lambdas: posexplode pins
+        # id_a and its position, explode(slice(ids, i+2, ...)) streams the
+        # ids after it. A flatten(transform(transform(...))) twin built
+        # 500k structs per cap-sized bucket in the interpreter and lost
+        # 1.5x to the self-join in the dense regime; the nested explode
+        # matches the self-join there (3.5s vs 3.4s, 15.4M pairs at 50k
+        # docs) and wins the sparse near-dup regime outright.
+        ids = F.col("_ids")
+        grouped = (
+            capped.groupBy("band", "bucket")
+            .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+            .where(F.size(ids) >= 2)
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        cands = (
+            grouped.select(F.posexplode(ids).alias("_i", "id_a"), ids)
+            .select(
+                "id_a",
+                F.explode(
+                    F.slice(ids, F.col("_i") + F.lit(2), F.size(ids))
+                ).alias("id_b"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
+    else:
+        a = capped.alias("a")
+        b = capped.alias("b")
+        cands = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
     if materialize:
         cands = cands.localCheckpoint(eager=True)
         banded.unpersist()
@@ -594,9 +648,13 @@ def ngram_jaccard_pairs_lsh(
     # materialize=True: checkpoints banded once inside and returns the
     # bounded candidate list as an eager checkpoint — it fans out to THREE
     # consumers below (the id semi-join + both verify attachments)
+    # pair_gen="explode": the sparse near-dup regime where it wins 2x;
+    # safe here ONLY because every downstream join over the tiny-estimated
+    # checkpoint (rule 40) is pinned below — cands/ids broadcast by
+    # explicit bounded-side hints, the pair join hinted merge
     cands = minhash_lsh_candidates(
         sigs, id_col, "minhash", bands, max_bucket, hash_fn=hash_fn,
-        materialize=True,
+        materialize=True, pair_gen="explode",
     )
     # exact verify on candidate DOCS only: pull the gram arrays for ids in
     # the candidate list (bounded by 2 x |cands|) — the broadcast carries
@@ -622,7 +680,12 @@ def ngram_jaccard_pairs_lsh(
     b_side = cand_grams.select(
         F.col(id_col).alias("id_b"), F.col("_g").alias("_gb")
     ).join(maybe_bc(cands.select("id_b").distinct()), on="id_b")
-    pair_rows = a_side.join(b_side, on="id_b")
+    # merge hint: both sides inherit the explode-path checkpoint's ~KiB
+    # origin estimate (rule 40) and the planner would otherwise broadcast
+    # a GRAM-ARRAY-carrying side — the exact n_candidates x per-doc-bytes
+    # broadcast this join is structured to avoid. Sort-merge keeps it a
+    # shuffle bounded by the candidate list at any scale.
+    pair_rows = a_side.hint("merge").join(b_side, on="id_b")
     inter = F.size(F.array_intersect(F.col("_ga"), F.col("_gb")))
     union = F.size(F.col("_ga")) + F.size(F.col("_gb")) - inter
     pairs = (
