@@ -104,6 +104,56 @@ def test_ngram_jaccard_pairs(docs):
     assert (0, 3) not in got
 
 
+def test_lsh_pair_gen_shapes_identical(spark):
+    """pair_gen="explode" (nested-explode enumeration over sorted
+    collect_list buckets) must emit the BYTE-IDENTICAL candidate set of
+    the default a×b self-join, in both hash modes, including ties and
+    the max_bucket cap boundary (r06 optimization; the oracle replays
+    the join semantics, so any divergence is a correctness bug)."""
+    from titanlib_spark.textops.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        word_ngram_minhash_udf,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    rows = [(i, base + f"tail{i % 3}") for i in range(12)]  # bucket groups
+    rows += [(50 + i, f"unique doc {i} " + " ".join(
+        f"u{i}_{j}" for j in range(25))) for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").cache()
+    docs.count()
+
+    for mode in ("md5", "xxhash64"):
+        if mode == "md5":
+            udf = word_ngram_minhash_udf(3, 64).asNondeterministic()
+            sigs = docs.select(
+                F.col("doc_id"), udf(F.col("text")).alias("minhash")
+            ).where(F.col("minhash").isNotNull())
+        else:
+            sigs = minhash_signatures(
+                docs, "text", 64, 5, id_col="doc_id", hash_fn=mode,
+                signatures_only=True,
+            )
+        sigs = sigs.localCheckpoint(eager=True)
+        # max_bucket=4 exercises the cap: the 12-doc near-dup family
+        # overflows some buckets, which must drop identically both ways
+        sets = {
+            pg: set(
+                map(
+                    tuple,
+                    minhash_lsh_candidates(
+                        sigs, "doc_id", "minhash", 16, 4, hash_fn=mode,
+                        pair_gen=pg,
+                    ).collect(),
+                )
+            )
+            for pg in ("join", "explode")
+        }
+        assert sets["join"] == sets["explode"], mode
+        sigs.unpersist()
+    docs.unpersist()
+
+
 def test_ngram_jaccard_lsh_matches_exact_verifier(spark):
     """The LSH-gated pipeline's array-intersect verify must produce
     IDENTICAL jaccard values to the exact explode-join verifier for every
