@@ -865,10 +865,19 @@ def duplicate_passage_pairs(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # boilerplate cap as a BROADCAST anti-join against the OVERSIZED
+    # fingerprints only (rule 37, same shape as the LSH bucket cap): the
+    # old inner join with the full <=cap count table shuffled/broadcast a
+    # frame that grows with the corpus, while the oversized-key set is
+    # bounded by n_fps/max_bucket at any scale and the anti-join keeps
+    # the fps side map-side. Row set identical: keep(count <= cap) ==
+    # not-drop(count > cap) — every fp has a count.
     counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_c"))
     bounded = fps.join(
-        counts.where(F.col("_c") <= max_bucket), on="fp"
-    ).drop("_c")
+        F.broadcast(counts.where(F.col("_c") > max_bucket).drop("_c")),
+        on="fp",
+        how="left_anti",
+    )
     a, b = bounded.alias("a"), bounded.alias("b")
     pairs = (
         a.join(
