@@ -104,6 +104,50 @@ def test_ngram_jaccard_pairs(docs):
     assert (0, 3) not in got
 
 
+def test_cosine_topk_kernel_bit_identical_to_column_fold(spark):
+    """The Arrow cosine kernel must reproduce the Column-level
+    aggregate-over-zip_with cosine() BIT for bit (rule 21), including
+    Spark's NaN-as-greatest `when(den > 0)` semantics (rule 7: a NaN
+    cosine stays NaN and top-ranks; only den == 0 / null / ragged
+    vectors yield NULL)."""
+    import struct
+
+    from titanlib_spark.textops.similarity import _query_lit, cosine, cosine_topk
+
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(50)]
+    rows += [
+        (100, [0.0] * 8),                       # zero vector -> NULL
+        (101, None),                            # NULL vector -> NULL
+        (102, [1.0] * 4),                       # ragged -> NULL
+        (103, [float("nan")] + [1.0] * 7),      # NaN element -> NaN
+        (104, [float("inf")] + [1.0] * 7),      # inf -> NaN (inf/inf)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, emb_d array<double>")
+    q = rng.standard_normal(8).tolist()
+
+    col = {
+        r.vec_id: r.cosine_sim
+        for r in df.select(
+            "vec_id", cosine(F.col("emb_d"), _query_lit(q)).alias("cosine_sim")
+        ).collect()
+    }
+    arrow = {
+        r.vec_id: r.cosine_sim
+        for r in cosine_topk(
+            df, q, k=len(rows), vec_col="emb_d", id_col="vec_id"
+        ).collect()
+    }
+    for vid, want in col.items():
+        got = arrow.get(vid)
+        if want is None:
+            assert got is None, vid
+        else:
+            assert got is not None and struct.pack("d", want) == struct.pack(
+                "d", got
+            ), (vid, want, got)
+
+
 def test_lsh_pair_gen_shapes_identical(spark):
     """pair_gen="explode" (nested-explode enumeration over sorted
     collect_list buckets) must emit the BYTE-IDENTICAL candidate set of

@@ -65,13 +65,54 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force top-k by cosine similarity to a constant query.
 
-    The query vector is a folded constant (Catalyst broadcasts literals for
-    free); the scan is one codegen stage computing score, then a global
-    top-k (orderBy + limit = TakeOrderedAndProject, no full sort)."""
-    q = _query_lit(query_vec)
-    score = cosine(F.col(vec_col), q)
+    The query vector ships inside the UDF closure (tiny model in the
+    plan); the scan is ONE Arrow pass, then a global top-k (orderBy +
+    limit = TakeOrderedAndProject, no full sort). The score was a
+    Column-level `cosine()` — three interpreted aggregate-folds per row
+    (~380 lambda evals at dim 64, incl. the query's own norm, which
+    ConstantFolding does not fold through a HOF): 3.7s at 242k vectors.
+    The Arrow kernel accumulates dot and norm per-dimension in strict
+    fold order (rule 21: `acc += A[:, i] * q[i]` over dims in order is
+    BIT-identical to the aggregate-over-zip_with fold AND to the DuckDB
+    list_inner_product oracle), np.sqrt/np division are the same
+    IEEE-754 ops, the den>0 guard mirrors the ANSI-safe `when`, and
+    NaN→pd.NA emits real NULLs (rule 22) — ragged/NULL vectors degrade
+    to NULL exactly like the null-padded zip_with. A/B: byte-identical
+    (cosine_sim bits + ranks) to the Column form on every SF."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    d = len(qv)
+    qn_acc = 0.0
+    for i in range(d):  # strict fold order for the query norm too
+        qn_acc += float(qv[i]) * float(qv[i])
+    qn = float(np.sqrt(qn_acc))
+
+    @F.pandas_udf("double")
+    def _cos_to_query(v: pd.Series) -> pd.Series:
+        vals = np.full(len(v), np.nan)
+        null = np.ones(len(v), dtype=bool)
+        ok = (v.notna() & (v.map(len, na_action="ignore") == d)).to_numpy()
+        if ok.any():
+            A = np.stack(v[ok].to_numpy()).astype(np.float64)
+            dotq = np.zeros(len(A))
+            na = np.zeros(len(A))
+            for i in range(d):  # strict fold order: (acc + x_i*y_i) per step
+                dotq += A[:, i] * qv[i]
+                na += A[:, i] * A[:, i]
+            den = np.sqrt(na) * qn
+            # mirror the Column `when(den > 0, dot/den)` under SPARK
+            # comparison semantics: NaN > 0 is TRUE there (rule 7), so a
+            # NaN den yields NaN (which top-ranks in desc order), and
+            # only den == 0 yields NULL. The explicit FloatingArray mask
+            # keeps NaN as NaN instead of astype("Float64")'s NaN->NA.
+            keep = (den > 0) | np.isnan(den)
+            vals[ok] = np.where(
+                keep, dotq / np.where(den != 0, den, 1.0), np.nan
+            )
+            null[ok] = ~keep
+        return pd.Series(pd.arrays.FloatingArray(vals, null))
+
     return (
-        df.select(F.col(id_col), score.alias("cosine_sim"))
+        df.select(F.col(id_col), _cos_to_query(F.col(vec_col)).alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
